@@ -1,0 +1,116 @@
+"""Photometric losses: L1, SSIM, PSNR, inverse depth.
+
+Behavioral spec: reference `include/gs/gs/loss_utils.cuh`:
+  - l1_loss (loss_utils.cuh:11-13)
+  - inv_depth (15-21): 1/clamp(depth, eps) with depth<=eps zeroed.
+  - gaussian window (24-30): NOTE the reference builds the 11-tap window as
+    exp(-floor((x - window_size)/2)^2 / (2 sigma^2)) — an ASYMMETRIC window
+    (an integer-division quirk of the C++ port of 3DGS). We reproduce it
+    bit-for-bit for parity; `gaussian_window(symmetric=True)` gives the
+    textbook window.
+  - ssim (43-70): 11x11, sigma=1.5, per-channel depthwise conv, SAME padding
+    via zero padding of size window//2 (torch conv2d default zero-pads).
+  - psnr (89-93): 20*log10(1/sqrt(mse)) with mse averaged per channel, then
+    averaged over channels.
+
+Images here are channel-first [C, H, W] float32 in [0, 1], matching the
+reference's torch layout so tests can compare directly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_C1 = 0.01**2
+_C2 = 0.03**2
+
+
+def l1_loss(pred, gt):
+    return jnp.abs(pred - gt).mean()
+
+
+def inv_depth(depth, epsilon: float = 1e-2):
+    """loss_utils.cuh:15-21."""
+    mask = depth <= epsilon
+    inverse = 1.0 / jnp.clip(depth, min=epsilon)
+    return jnp.where(mask, 0.0, inverse)
+
+
+def gaussian_1d(window_size: int = 11, sigma: float = 1.5, symmetric: bool = False):
+    """1D normalized gaussian taps (loss_utils.cuh:24-30), as a numpy array
+    (host-side constant — safe to build under jit tracing).
+
+    symmetric=False reproduces the reference's floor((x - ws)/2) exponent.
+    """
+    x = np.arange(window_size, dtype=np.float64)
+    if symmetric:
+        g = np.exp(-((x - window_size // 2) ** 2) / (2.0 * sigma * sigma))
+    else:
+        g = np.exp(-(np.floor((x - window_size) / 2.0) ** 2) / (2.0 * sigma * sigma))
+    g = g / g.sum()
+    return g.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=8)
+def _window_2d(window_size: int, sigma: float, symmetric: bool):
+    g = gaussian_1d(window_size, sigma, symmetric).astype(np.float64)
+    return np.outer(g, g).astype(np.float32)
+
+
+def _depthwise_conv2d_same(img, window):
+    """img [C, H, W], window [k, k] -> per-channel zero-padded SAME conv."""
+    k = window.shape[0]
+    lhs = img[None]  # [1, C, H, W]
+    rhs = jnp.broadcast_to(window, (img.shape[0], 1, k, k))  # [C, 1, k, k]
+    out = jax.lax.conv_general_dilated(
+        lhs,
+        rhs,
+        window_strides=(1, 1),
+        padding=[(k // 2, k // 2), (k // 2, k // 2)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=img.shape[0],
+    )
+    return out[0]
+
+
+def ssim(img1, img2, window_size: int = 11, sigma: float = 1.5, symmetric_window: bool = False):
+    """Mean SSIM over the image (loss_utils.cuh:43-70). Inputs [C, H, W]."""
+    window = _window_2d(window_size, sigma, symmetric_window)
+    conv = lambda x: _depthwise_conv2d_same(x, window)
+    mu1 = conv(img1)
+    mu2 = conv(img2)
+    mu1_sq = mu1 * mu1
+    mu2_sq = mu2 * mu2
+    mu1_mu2 = mu1 * mu2
+    sigma1_sq = conv(img1 * img1) - mu1_sq
+    sigma2_sq = conv(img2 * img2) - mu2_sq
+    sigma12 = conv(img1 * img2) - mu1_mu2
+    ssim_map = ((2.0 * mu1_mu2 + _C1) * (2.0 * sigma12 + _C2)) / (
+        (mu1_sq + mu2_sq + _C1) * (sigma1_sq + sigma2_sq + _C2)
+    )
+    return ssim_map.mean()
+
+
+def psnr(pred, gt):
+    """loss_utils.cuh:89-93. Inputs [C, H, W] in [0, 1]."""
+    mse = ((pred - gt) ** 2).reshape(pred.shape[0], -1).mean(axis=1)
+    return (20.0 * jnp.log10(1.0 / jnp.sqrt(mse))).mean()
+
+
+def image_loss(pred, gt, lambda_dssim: float = 0.2):
+    """The training image loss (lioOptimization.cpp:1705-1712):
+    (1 - lambda) * L1 + lambda * (1 - SSIM)."""
+    return (1.0 - lambda_dssim) * l1_loss(pred, gt) + lambda_dssim * (1.0 - ssim(pred, gt))
+
+
+def smooth_depth(depth):
+    """loss_utils.cuh:73-87: |3x3-gaussian-smoothed depth - depth| mean."""
+    kernel = jnp.asarray(
+        [[1.0, 2.0, 1.0], [2.0, 4.0, 2.0], [1.0, 2.0, 1.0]], dtype=jnp.float32
+    ) / 16.0
+    sm = _depthwise_conv2d_same(depth[None], kernel)[0]
+    return jnp.abs(sm - depth).mean()

@@ -1,0 +1,269 @@
+"""Naive differentiable rasterizer — the correctness oracle.
+
+A direct, pure-JAX O(P * pixels) implementation of the reference CUDA
+rasterizer semantics (`src/cuda_rasterizer/forward.cu`,
+`rasterizer_impl.cu`), used as the allclose oracle for the Pallas kernels
+(BASELINE.json config[0]) and as a CPU-executable fallback. Gradients come
+from JAX autodiff of the exact forward math, which matches the reference's
+hand-written backward (`backward.cu`) analytically.
+
+Parity quirks reproduced deliberately:
+  - near cull at z <= 0.2 (forward.cu:223-225)
+  - oversize-scale cull s*mod > 0.3 (forward.cu:19-25, 227)
+  - unnormalized quaternion in cov3D (forward.cu:146)
+  - +0.3 pixel low-pass on cov2D (forward.cu:130-131)
+  - sqrt(max(0.1, ...)) eigenvalue clamp for the radius (forward.cu:261-262)
+  - 1/(w + 1e-7) projection guard (forward.cu:233)
+  - 16x16 tile-rect membership: a pixel only sees gaussians whose tile rect
+    covers the pixel's tile (getRect, auxiliary.h:39-45) — so splats are
+    clipped to their 3-sigma rect exactly like the tiled renderer
+  - alpha = min(0.99, o*exp(power)), skip power>0, skip alpha<1/255,
+    stop when T*(1-alpha) < 1e-4 (forward.cu:357-394)
+  - depth-sorted front-to-back with ties broken by gaussian index (stable
+    radix sort over float depth bits, rasterizer_impl.cu:94, 295-309)
+  - output color = C + T_final * bg (forward.cu:402-403); depth/acc get no
+    background term
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import covariance as cov_ops
+from . import sh as sh_ops
+from ..models.cameras import Camera
+
+TILE = 16  # config.h:16-17 (BLOCK_X = BLOCK_Y = 16)
+
+
+class PreprocessedGaussians(NamedTuple):
+    """Per-gaussian screen-space quantities (the CUDA preprocess outputs)."""
+
+    valid: jnp.ndarray  # [N] bool — survives all culls
+    mean2d: jnp.ndarray  # [N, 2] pixel coords
+    conic: jnp.ndarray  # [N, 3] inverse 2D covariance (a, b, c)
+    opacity: jnp.ndarray  # [N]
+    color: jnp.ndarray  # [N, 3]
+    depth: jnp.ndarray  # [N] view-space z
+    radius: jnp.ndarray  # [N] pixel radius (0 for culled)
+    rect_min: jnp.ndarray  # [N, 2] int32 tile coords (x, y)
+    rect_max: jnp.ndarray  # [N, 2] int32 tile coords, exclusive
+    tiles_touched: jnp.ndarray  # [N] int32
+
+
+def tile_grid(width: int, height: int) -> tuple[int, int]:
+    return (width + TILE - 1) // TILE, (height + TILE - 1) // TILE
+
+
+def get_rect(mean2d, radius, grid_x: int, grid_y: int):
+    """auxiliary.h:39-45 — trunc-toward-zero then clamp to [0, grid]."""
+    lo = jnp.trunc((mean2d - radius[..., None]) / TILE)
+    hi = jnp.trunc((mean2d + radius[..., None] + TILE - 1) / TILE)
+    limits = jnp.asarray([grid_x, grid_y], dtype=jnp.int32)
+    rect_min = jnp.clip(lo.astype(jnp.int32), 0, limits)
+    rect_max = jnp.clip(hi.astype(jnp.int32), 0, limits)
+    return rect_min, rect_max
+
+
+def preprocess(
+    means,
+    scales,
+    quats,
+    opacities,
+    shs,
+    camera: Camera,
+    sh_degree: int = 0,
+    scale_modifier: float = 1.0,
+    active_mask=None,
+    colors_precomp=None,
+) -> PreprocessedGaussians:
+    """preprocessCUDA (forward.cu:180-286) in vectorized JAX.
+
+    `active_mask` supports capacity-padded parameter buffers: padded slots
+    behave exactly like culled gaussians.
+    """
+    grid_x, grid_y = tile_grid(camera.width, camera.height)
+
+    p_view = means @ camera.R_cw.T + camera.t_cw
+    z = p_view[..., 2]
+    near_ok = z > 0.2
+
+    size_ok = ~cov_ops.scale_abnormal(scales, scale_modifier)
+
+    w_inv = 1.0 / (z + 1e-7)
+    ndc_x = (p_view[..., 0] / camera.tan_fovx) * w_inv
+    ndc_y = (p_view[..., 1] / camera.tan_fovy) * w_inv
+    pix_x = ((ndc_x + 1.0) * camera.width - 1.0) * 0.5
+    pix_y = ((ndc_y + 1.0) * camera.height - 1.0) * 0.5
+    mean2d = jnp.stack([pix_x, pix_y], axis=-1)
+
+    cov3d = cov_ops.compute_cov3d(scales, quats, scale_modifier)
+    cov2d = cov_ops.compute_cov2d(
+        p_view, cov3d, camera.R_cw, camera.fx, camera.fy, camera.tan_fovx, camera.tan_fovy
+    )
+    conic, radius, det = cov_ops.conic_and_radius(cov2d)
+    det_ok = det != 0.0
+
+    rect_min, rect_max = get_rect(mean2d, radius, grid_x, grid_y)
+    tiles = (rect_max[..., 0] - rect_min[..., 0]) * (rect_max[..., 1] - rect_min[..., 1])
+    rect_ok = tiles > 0
+
+    valid = near_ok & size_ok & det_ok & rect_ok
+    if active_mask is not None:
+        valid = valid & active_mask
+
+    if colors_precomp is not None:
+        color = colors_precomp
+    else:
+        color = sh_ops.sh_to_color(shs, means, camera.cam_center, sh_degree)
+
+    return PreprocessedGaussians(
+        valid=valid,
+        mean2d=mean2d,
+        conic=conic,
+        opacity=opacities.reshape(opacities.shape[0]),
+        color=color,
+        depth=z,
+        radius=jnp.where(valid, radius, 0.0),
+        rect_min=rect_min,
+        rect_max=rect_max,
+        tiles_touched=jnp.where(valid, tiles, 0).astype(jnp.int32),
+    )
+
+
+def depth_order(pre: PreprocessedGaussians):
+    """Front-to-back order with index tie-break (stable sort; invalid last)."""
+    key = jnp.where(pre.valid, pre.depth, jnp.inf)
+    return jnp.argsort(jax.lax.stop_gradient(key), stable=True)
+
+
+def _composite_pixels(pix_xy, tile_xy, pre_sorted, bg_color):
+    """Alpha-composite all sorted gaussians onto a block of pixels.
+
+    pix_xy: [B, 2] float pixel coords; tile_xy: [B, 2] int tile coords.
+    pre_sorted: PreprocessedGaussians already in front-to-back order.
+    Returns (color [B,3], depth [B], acc [B], final_T [B], n_contrib [B]).
+    """
+    d = pix_xy[:, None, :] - pre_sorted.mean2d[None, :, :]  # [B, N, 2]
+    a = pre_sorted.conic[None, :, 0]
+    b = pre_sorted.conic[None, :, 1]
+    c = pre_sorted.conic[None, :, 2]
+    power = (
+        -0.5 * (a * d[..., 0] * d[..., 0] + c * d[..., 1] * d[..., 1])
+        - b * d[..., 0] * d[..., 1]
+    )  # [B, N]
+
+    in_rect = jnp.all(
+        (tile_xy[:, None, :] >= pre_sorted.rect_min[None]) &
+        (tile_xy[:, None, :] < pre_sorted.rect_max[None]),
+        axis=-1,
+    )  # [B, N]
+
+    alpha = jnp.minimum(0.99, pre_sorted.opacity[None, :] * jnp.exp(power))
+    accepted = (
+        pre_sorted.valid[None, :] & in_rect & (power <= 0.0) & (alpha >= 1.0 / 255.0)
+    )
+    alpha_eff = jnp.where(accepted, alpha, 0.0)
+
+    # Transmittance BEFORE each gaussian: exclusive cumprod of (1 - alpha),
+    # computed by shifting the inclusive cumprod (no division).
+    one_minus = 1.0 - alpha_eff
+    T_prev = jnp.concatenate(
+        [jnp.ones_like(alpha_eff[:, :1]), jnp.cumprod(one_minus, axis=1)[:, :-1]],
+        axis=1,
+    )
+
+    # Early-stop: first accepted gaussian with T*(1-alpha) < 1e-4 sets "done";
+    # it and everything after contribute nothing (forward.cu:377-381).
+    would_stop = accepted & (T_prev * (1.0 - alpha) < 1e-4)
+    done = jnp.cumsum(would_stop.astype(jnp.int32), axis=1) > 0
+    contrib = accepted & ~done
+
+    w = jnp.where(contrib, alpha_eff * T_prev, 0.0)  # [B, N]
+    color = w @ pre_sorted.color  # [B, 3]
+    depth = (w * pre_sorted.depth[None, :]).sum(axis=1)
+    acc = w.sum(axis=1)
+    final_T = jnp.where(contrib, one_minus, 1.0).prod(axis=1)
+
+    n_idx = jnp.arange(alpha_eff.shape[1], dtype=jnp.int32)[None, :] + 1
+    n_contrib = jnp.max(jnp.where(contrib, n_idx, 0), axis=1)
+
+    out_color = color + final_T[:, None] * bg_color[None, :]
+    return out_color, depth, acc, final_T, n_contrib
+
+
+class RenderOutput(NamedTuple):
+    color: jnp.ndarray  # [3, H, W]
+    depth: jnp.ndarray  # [H, W]
+    acc: jnp.ndarray  # [H, W] (silhouette)
+    final_T: jnp.ndarray  # [H, W]
+    n_contrib: jnp.ndarray  # [H, W] int32
+    radii: jnp.ndarray  # [N]
+
+
+def rasterize_naive(
+    means,
+    scales,
+    quats,
+    opacities,
+    shs,
+    camera: Camera,
+    bg_color=None,
+    sh_degree: int = 0,
+    scale_modifier: float = 1.0,
+    active_mask=None,
+    colors_precomp=None,
+    pixel_chunk: int = 4096,
+) -> RenderOutput:
+    """Render C/D/S images; differentiable through all parameters.
+
+    No depth-gradient-drop here — this is the raw math. Use
+    `gslivm_tpu.ops.rasterize.rasterize` for the reference-parity autograd
+    behavior (grad_out_depth silently dropped, rasterizer.cu:79).
+    """
+    H, W = camera.height, camera.width
+    if bg_color is None:
+        bg_color = jnp.ones((3,), dtype=means.dtype)  # white_background=true
+
+    pre = preprocess(
+        means, scales, quats, opacities, shs, camera,
+        sh_degree=sh_degree, scale_modifier=scale_modifier,
+        active_mask=active_mask, colors_precomp=colors_precomp,
+    )
+    order = depth_order(pre)
+    pre_sorted = jax.tree.map(lambda x: x[order], pre)
+
+    ys, xs = jnp.meshgrid(jnp.arange(H), jnp.arange(W), indexing="ij")
+    pix_xy = jnp.stack([xs.reshape(-1), ys.reshape(-1)], axis=-1).astype(means.dtype)
+    tile_xy = (pix_xy // TILE).astype(jnp.int32)
+
+    n_pix = H * W
+    pad = (-n_pix) % pixel_chunk
+    pix_xy_p = jnp.pad(pix_xy, ((0, pad), (0, 0)))
+    tile_xy_p = jnp.pad(tile_xy, ((0, pad), (0, 0)))
+    n_chunks = (n_pix + pad) // pixel_chunk
+
+    def body(args):
+        px, tx = args
+        return _composite_pixels(px, tx, pre_sorted, bg_color)
+
+    outs = jax.lax.map(
+        body,
+        (
+            pix_xy_p.reshape(n_chunks, pixel_chunk, 2),
+            tile_xy_p.reshape(n_chunks, pixel_chunk, 2),
+        ),
+    )
+    color, depth, acc, final_T, n_contrib = (o.reshape(-1, *o.shape[2:])[:n_pix] for o in outs)
+
+    return RenderOutput(
+        color=color.reshape(H, W, 3).transpose(2, 0, 1),
+        depth=depth.reshape(H, W),
+        acc=acc.reshape(H, W),
+        final_T=jax.lax.stop_gradient(final_T.reshape(H, W)),
+        n_contrib=n_contrib.reshape(H, W),
+        radii=jax.lax.stop_gradient(pre.radius),
+    )
