@@ -1,0 +1,586 @@
+"""Pallas TPU tile rasterizer — forward + hand-derived backward.
+
+TPU-native redesign of the reference CUDA render kernels
+(`src/cuda_rasterizer/forward.cu:291-407`, `backward.cu:439-613`):
+
+  * One grid program per 16x16 tile. Register layout is chosen for the VPU:
+    the 256 tile pixels live on the LANE axis (2 lane-tiles) so all per-pixel
+    carry state is (1, 256) — two vregs; the 128 instances of a chunk live on
+    the SUBLANE axis. Compute arrays are (CHUNK, NPIX).
+  * Instances arrive depth-sorted and CHUNK(=128)-aligned from `binning.py`;
+    the kernel streams feature-major [16, CHUNK] blocks HBM->VMEM with
+    double-buffered async DMA (the analog of the CUDA collective
+    shared-memory fetch, forward.cu:346-353).
+  * Front-to-back compositing inside a chunk is vectorized with an exclusive
+    cumulative product over the sublane axis (log-space Hillis-Steele scan —
+    Mosaic has no cumsum primitive); the early-stop (T < 1e-4,
+    forward.cu:377-381) becomes a latched cumulative flag.
+  * The backward pass replaces CUDA's atomicAdd scatter (backward.cu:591-600)
+    with per-INSTANCE gradients written to a dense [PAD, 16] array,
+    segment-summed to per-gaussian gradients outside the kernel (TPU has no
+    atomics).
+  * Instead of CUDA's back-to-front T reconstruction by division
+    (backward.cu: T = T / (1 - alpha)), the backward replays forward once,
+    checkpointing per-chunk transmittance in VMEM, then walks chunks in
+    reverse using suffix sums — no divisions by (1 - alpha) products.
+
+Gradient semantics match the naive oracle (JAX autodiff of the exact forward
+math). KNOWN DEVIATION from the CUDA backward: the reference ignores the
+min(0.99, alpha) clamp when backpropagating (backward.cu:584-609 uses
+dL_dG = opacity * dL_dalpha unconditionally); we apply the correct
+subgradient (zero when clamped), matching autodiff. The clamp is active
+only for near-opaque splats.
+
+Gradient contract (which outputs get cotangents) is enforced one level up
+in `rasterize.py` (depth-grad drop parity).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .binning import CHUNK, bin_instances
+from .rasterize_reference import (
+    TILE,
+    PreprocessedGaussians,
+    RenderOutput,
+    preprocess,
+    tile_grid,
+)
+
+NPIX = TILE * TILE  # 256 pixels per tile
+FEAT = 16  # packed instance feature columns (10 used, padded for tiling)
+# feature column indices
+_FX, _FY, _FA, _FB, _FC, _FO, _FR, _FG, _FB2, _FD = range(10)
+
+
+class PallasConfig(NamedTuple):
+    """Static kernel configuration (hashable -> usable as nondiff arg)."""
+
+    grid_x: int
+    grid_y: int
+    max_chunks_per_tile: int
+    interpret: bool
+
+
+# ---------------------------------------------------------------------------
+# In-kernel helpers
+# ---------------------------------------------------------------------------
+
+
+def _cumsum_rows(x, exclusive: bool):
+    """Cumulative sum along the sublane (first) axis of a (CHUNK, NPIX) array.
+
+    Hillis-Steele scan: log2(rows) shift-and-add steps with static shapes.
+    """
+    orig = x
+    n, cols = x.shape
+    s = 1
+    while s < n:
+        shifted = jnp.concatenate(
+            [jnp.zeros((s, cols), x.dtype), x[: n - s, :]], axis=0
+        )
+        x = x + shifted
+        s *= 2
+    return x - orig if exclusive else x
+
+
+def _cumprod_rows(x, exclusive: bool):
+    """Cumulative product along the sublane axis (ones-filled shifts).
+
+    Multiplicative Hillis-Steele scan — bit-compatible with the oracle's
+    jnp.cumprod (no log/exp roundtrip, which costs ~1e-3 accumulated error
+    through the TPU's approximate transcendentals).
+    """
+    n, cols = x.shape
+    s = 1
+    while s < n:
+        shifted = jnp.concatenate(
+            [jnp.ones((s, cols), x.dtype), x[: n - s, :]], axis=0
+        )
+        x = x * shifted
+        s *= 2
+    return _shift_down_ones(x) if exclusive else x
+
+
+def _shift_down_ones(x):
+    """Exclusive from inclusive scan: prepend a ones row, drop the last."""
+    return jnp.concatenate(
+        [jnp.ones((1, x.shape[1]), x.dtype), x[:-1, :]], axis=0
+    )
+
+
+def _suffix_excl(x):
+    """Sum over strictly-later rows: S[k] = sum_{j>k} x[j]."""
+    total = jnp.sum(x, axis=0, keepdims=True)
+    return total - _cumsum_rows(x, exclusive=False)
+
+
+def _pixel_coords(t, grid_x):
+    """Per-tile pixel coordinates as (1, NPIX) f32 rows."""
+    tile_y = t // grid_x
+    tile_x = t - tile_y * grid_x
+    p = jax.lax.broadcasted_iota(jnp.int32, (1, NPIX), 1)
+    col = p % TILE
+    row = p // TILE
+    px = (tile_x * TILE + col).astype(jnp.float32)
+    py = (tile_y * TILE + row).astype(jnp.float32)
+    return px, py
+
+
+def _chunk_terms(featT, px, py, T_in, done_in):
+    """Shared fwd/bwd per-chunk math (exact oracle semantics, vectorized).
+
+    featT: (CHUNK, FEAT) — transposed feature block (gaussians on sublanes);
+    px/py/T_in/done_in: (1, NPIX).
+    Returns a dict of (CHUNK, NPIX) / (1, NPIX) arrays.
+    """
+    x = featT[:, _FX][:, None]
+    y = featT[:, _FY][:, None]
+    ca = featT[:, _FA][:, None]
+    cb = featT[:, _FB][:, None]
+    cc = featT[:, _FC][:, None]
+    op = featT[:, _FO][:, None]
+
+    dx = x - px  # (CHUNK, NPIX)
+    dy = y - py
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    G = jnp.exp(power)
+    raw_alpha = op * G
+    alpha = jnp.minimum(0.99, raw_alpha)
+    accepted = (power <= 0.0) & (alpha >= 1.0 / 255.0)
+    one_minus_eff = jnp.where(accepted, 1.0 - alpha, 1.0)
+
+    T_prev = T_in * _cumprod_rows(one_minus_eff, exclusive=True)
+    would_stop = accepted & (T_prev * (1.0 - alpha) < 1e-4)
+    ws = would_stop.astype(jnp.float32)
+    stopped_before = _cumsum_rows(ws, exclusive=True) > 0.0
+    contrib = accepted & jnp.logical_not(done_in | stopped_before) & jnp.logical_not(would_stop)
+    w = jnp.where(contrib, alpha * T_prev, 0.0)
+
+    # total product over contributing splats (Mosaic has no reduce_prod:
+    # take the last row of an inclusive multiplicative scan)
+    T_out = T_in * _cumprod_rows(
+        jnp.where(contrib, 1.0 - alpha, 1.0), exclusive=False
+    )[-1:, :]
+    done_out = done_in | (jnp.sum(ws, axis=0, keepdims=True) > 0.0)
+    return dict(
+        dx=dx, dy=dy, G=G, raw_alpha=raw_alpha, alpha=alpha,
+        contrib=contrib, w=w, T_prev=T_prev, T_out=T_out, done_out=done_out,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(cfg: PallasConfig, off_ref, nch_ref, inst_ref, out_ref,
+                buf_ref, sem_ref):
+    t = pl.program_id(0)
+    off = off_ref[t]
+    nchunks = nch_ref[t]
+    px, py = _pixel_coords(t, cfg.grid_x)
+
+    def get_dma(slot, i):
+        start = pl.multiple_of(off + i * CHUNK, CHUNK)  # aligned by binning
+        return pltpu.make_async_copy(
+            inst_ref.at[:, pl.ds(start, CHUNK)],
+            buf_ref.at[slot],
+            sem_ref.at[slot],
+        )
+
+    @pl.when(nchunks > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    zeros = jnp.zeros((1, NPIX), jnp.float32)
+    init = (
+        jnp.ones((1, NPIX), jnp.float32),   # T
+        jnp.zeros((1, NPIX), jnp.float32),  # done (f32 0/1: i1 loop carries
+                                            # fail to legalize in Mosaic)
+        zeros, zeros, zeros,                # C0, C1, C2
+        zeros, zeros,                       # D, A
+        zeros,                              # n_contrib (as f32)
+    )
+
+    def body(i, carry):
+        T, done, C0, C1, C2, D, A, N = carry
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < nchunks)
+        def _():
+            get_dma(jax.lax.rem(i + 1, 2), i + 1).start()
+
+        get_dma(slot, i).wait()
+        featT = buf_ref[slot].T  # (CHUNK, FEAT): gaussians on sublanes
+        m = _chunk_terms(featT, px, py, T, done > 0.0)
+
+        w = m["w"]
+        C0 = C0 + jnp.sum(w * featT[:, _FR][:, None], axis=0, keepdims=True)
+        C1 = C1 + jnp.sum(w * featT[:, _FG][:, None], axis=0, keepdims=True)
+        C2 = C2 + jnp.sum(w * featT[:, _FB2][:, None], axis=0, keepdims=True)
+        D = D + jnp.sum(w * featT[:, _FD][:, None], axis=0, keepdims=True)
+        A = A + jnp.sum(w, axis=0, keepdims=True)
+        row = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, NPIX), 0)
+        idx = (row + i * CHUNK + 1).astype(jnp.float32)
+        N = jnp.maximum(N, jnp.max(jnp.where(m["contrib"], idx, 0.0), axis=0,
+                                   keepdims=True))
+        return (m["T_out"], m["done_out"].astype(jnp.float32),
+                C0, C1, C2, D, A, N)
+
+    T, done, C0, C1, C2, D, A, N = jax.lax.fori_loop(0, nchunks, body, init)
+
+    out_ref[0, :, :] = jnp.concatenate(
+        [C0, C1, C2, D, A, T, N, jnp.zeros_like(T)], axis=0
+    )
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(cfg: PallasConfig, off_ref, nch_ref, inst_ref, g_ref,
+                dinst_ref, buf_ref, ckpt_T_ref, ckpt_done_ref, gbuf_ref,
+                rsem_ref, wsem_ref):
+    t = pl.program_id(0)
+    off = off_ref[t]
+    nchunks = nch_ref[t]
+    px, py = _pixel_coords(t, cfg.grid_x)
+
+    def get_dma(slot, i):
+        start = pl.multiple_of(off + i * CHUNK, CHUNK)  # aligned by binning
+        return pltpu.make_async_copy(
+            inst_ref.at[:, pl.ds(start, CHUNK)],
+            buf_ref.at[slot],
+            rsem_ref.at[slot],
+        )
+
+    def put_dma(slot, i):
+        start = pl.multiple_of(off + i * CHUNK, CHUNK)  # aligned by binning
+        return pltpu.make_async_copy(
+            gbuf_ref.at[slot],
+            dinst_ref.at[:, pl.ds(start, CHUNK)],
+            wsem_ref.at[slot],
+        )
+
+    # ---- Phase A: replay forward, checkpoint per-chunk (T, done). --------
+    @pl.when(nchunks > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    def replay(i, carry):
+        T, done = carry
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < nchunks)
+        def _():
+            get_dma(jax.lax.rem(i + 1, 2), i + 1).start()
+
+        get_dma(slot, i).wait()
+        ckpt_T_ref[pl.ds(i, 1), :] = T
+        ckpt_done_ref[pl.ds(i, 1), :] = done
+        m = _chunk_terms(buf_ref[slot].T, px, py, T, done > 0.0)
+        return (m["T_out"], m["done_out"].astype(jnp.float32))
+
+    T_fin, _ = jax.lax.fori_loop(
+        0, nchunks,
+        replay,
+        (jnp.ones((1, NPIX), jnp.float32), jnp.zeros((1, NPIX), jnp.float32)),
+    )
+
+    # Cotangents for this tile: rows C0,C1,C2,D,A,T of the fwd output.
+    g = g_ref[0]  # (8, NPIX)
+    gC0 = g[0:1, :]
+    gC1 = g[1:2, :]
+    gC2 = g[2:3, :]
+    gD = g[3:4, :]
+    gA = g[4:5, :]
+    gT = g[5:6, :]
+
+    # ---- Phase B: reverse chunk walk with suffix-sum carries. ------------
+    @pl.when(nchunks > 0)
+    def _():
+        get_dma(jax.lax.rem(nchunks - 1, 2), nchunks - 1).start()
+
+    zeros = jnp.zeros((1, NPIX), jnp.float32)
+    carry0 = (zeros, zeros, zeros, zeros, zeros)  # W carries: r,g,b,depth,acc
+
+    def reverse(j, carry):
+        Wr, Wg, Wb, Wd, Wa = carry
+        i = nchunks - 1 - j
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i - 1 >= 0)
+        def _():
+            get_dma(jax.lax.rem(i - 1, 2), i - 1).start()
+
+        get_dma(slot, i).wait()
+        featT = buf_ref[slot].T  # (CHUNK, FEAT)
+        T_in = ckpt_T_ref[pl.ds(i, 1), :]
+        done_in = ckpt_done_ref[pl.ds(i, 1), :] > 0.0
+        m = _chunk_terms(featT, px, py, T_in, done_in)
+
+        w = m["w"]
+        r = featT[:, _FR][:, None]
+        gch = featT[:, _FG][:, None]
+        b = featT[:, _FB2][:, None]
+        dep = featT[:, _FD][:, None]
+
+        swr, swg, swb, swd = w * r, w * gch, w * b, w * dep
+        Sr = _suffix_excl(swr) + Wr
+        Sg = _suffix_excl(swg) + Wg
+        Sb = _suffix_excl(swb) + Wb
+        Sd = _suffix_excl(swd) + Wd
+        Sa = _suffix_excl(w) + Wa
+
+        one_minus = 1.0 - m["alpha"]
+        inv = 1.0 / jnp.maximum(one_minus, 1e-6)
+        T_prev = m["T_prev"]
+        dLda = (
+            gC0 * (T_prev * r - Sr * inv)
+            + gC1 * (T_prev * gch - Sg * inv)
+            + gC2 * (T_prev * b - Sb * inv)
+            + gD * (T_prev * dep - Sd * inv)
+            + gA * (T_prev - Sa * inv)
+            - gT * T_fin * inv
+        )
+        dLda = jnp.where(m["contrib"], dLda, 0.0)
+
+        # min(0.99, .) subgradient gate (deviation from CUDA, see module doc)
+        not_clamped = m["raw_alpha"] < 0.99
+        G = m["G"]
+        op = featT[:, _FO][:, None]
+        d_op = jnp.where(not_clamped, G, 0.0) * dLda
+        d_power = jnp.where(not_clamped, op, 0.0) * dLda * G
+
+        dx, dy = m["dx"], m["dy"]
+        ca = featT[:, _FA][:, None]
+        cb = featT[:, _FB][:, None]
+        cc = featT[:, _FC][:, None]
+
+        # per-instance grads: reduce over pixels (lanes) -> (CHUNK, 1)
+        def psum(v):
+            return jnp.sum(v, axis=1, keepdims=True)
+
+        grads = [
+            psum(d_power * (-(ca * dx + cb * dy))),   # d mean2d.x
+            psum(d_power * (-(cc * dy + cb * dx))),   # d mean2d.y
+            psum(d_power * (-0.5 * dx * dx)),         # d conic a
+            psum(d_power * (-dx * dy)),               # d conic b
+            psum(d_power * (-0.5 * dy * dy)),         # d conic c
+            psum(d_op),                               # d opacity
+            psum(gC0 * w),                            # d color r
+            psum(gC1 * w),                            # d color g
+            psum(gC2 * w),                            # d color b
+            psum(gD * w),                             # d depth
+        ]
+        gout = jnp.concatenate(
+            grads + [jnp.zeros((CHUNK, FEAT - len(grads)), jnp.float32)],
+            axis=1,
+        )
+
+        # write this chunk's grads (double-buffered store DMA)
+        @pl.when(j >= 2)
+        def _():
+            put_dma(slot, i + 2).wait()
+
+        gbuf_ref[slot] = gout.T  # back to feature-major (FEAT, CHUNK)
+        put_dma(slot, i).start()
+
+        return (
+            Wr + jnp.sum(swr, axis=0, keepdims=True),
+            Wg + jnp.sum(swg, axis=0, keepdims=True),
+            Wb + jnp.sum(swb, axis=0, keepdims=True),
+            Wd + jnp.sum(swd, axis=0, keepdims=True),
+            Wa + jnp.sum(w, axis=0, keepdims=True),
+        )
+
+    jax.lax.fori_loop(0, nchunks, reverse, carry0)
+
+    # drain outstanding grad writes
+    @pl.when(nchunks >= 1)
+    def _():
+        put_dma(0, 0).wait()
+
+    @pl.when(nchunks >= 2)
+    def _():
+        put_dma(1, 1).wait()
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers + custom VJP over the tile renderer
+# ---------------------------------------------------------------------------
+
+
+def _fwd_call(cfg: PallasConfig, inst, tile_offset, tile_nchunks):
+    num_tiles = cfg.grid_x * cfg.grid_y
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=pl.BlockSpec(
+            (1, 8, NPIX), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, FEAT, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, cfg),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_tiles, 8, NPIX), jnp.float32),
+        interpret=cfg.interpret,
+    )(tile_offset, tile_nchunks, inst)
+
+
+def _bwd_call(cfg: PallasConfig, inst, tile_offset, tile_nchunks, g_tiles):
+    num_tiles = cfg.grid_x * cfg.grid_y
+    pad = inst.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(
+                (1, 8, NPIX), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((2, FEAT, CHUNK), jnp.float32),
+            pltpu.VMEM((cfg.max_chunks_per_tile, NPIX), jnp.float32),
+            pltpu.VMEM((cfg.max_chunks_per_tile, NPIX), jnp.float32),
+            pltpu.VMEM((2, FEAT, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, cfg),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((FEAT, pad), jnp.float32),
+        interpret=cfg.interpret,
+    )(tile_offset, tile_nchunks, inst, g_tiles)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _render_tiles(cfg: PallasConfig, inst, tile_offset, tile_nchunks):
+    return _fwd_call(cfg, inst, tile_offset, tile_nchunks)
+
+
+def _render_tiles_fwd(cfg, inst, tile_offset, tile_nchunks):
+    out = _fwd_call(cfg, inst, tile_offset, tile_nchunks)
+    return out, (inst, tile_offset, tile_nchunks)
+
+
+def _render_tiles_bwd(cfg, res, g_tiles):
+    inst, tile_offset, tile_nchunks = res
+    d_inst = _bwd_call(cfg, inst, tile_offset, tile_nchunks, g_tiles)
+    # slots beyond the last tile's run were never written by the kernel
+    used = tile_offset[-1] + CHUNK * tile_nchunks[-1]
+    slot = jnp.arange(d_inst.shape[1], dtype=jnp.int32)[None, :]
+    d_inst = jnp.where(slot < used, d_inst, 0.0)
+    zero_i = np.zeros(tile_offset.shape, jax.dtypes.float0)
+    return d_inst, zero_i, np.zeros(tile_nchunks.shape, jax.dtypes.float0)
+
+
+_render_tiles.defvjp(_render_tiles_fwd, _render_tiles_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Public entry
+# ---------------------------------------------------------------------------
+
+
+def _pack_features(pre: PreprocessedGaussians, gauss_id):
+    """Gather per-gaussian screen features into the feature-major
+    [FEAT, PAD] instance array (differentiable; padding slots get opacity
+    0). Feature-major keeps the kernel's DMA chunk slices lane-aligned."""
+    safe = jnp.maximum(gauss_id, 0)
+    per_gauss = jnp.stack(
+        [
+            pre.mean2d[:, 0],
+            pre.mean2d[:, 1],
+            pre.conic[:, 0],
+            pre.conic[:, 1],
+            pre.conic[:, 2],
+            jnp.where(pre.valid, pre.opacity, 0.0),
+            pre.color[:, 0],
+            pre.color[:, 1],
+            pre.color[:, 2],
+            pre.depth,
+        ],
+        axis=0,
+    )  # [10, P]
+    inst = per_gauss[:, safe]  # [10, PAD]
+    dead = (gauss_id < 0)[None, :]
+    inst = jnp.where(dead & (jnp.arange(10)[:, None] == _FO), 0.0, inst)
+    pad_rows = jnp.zeros((FEAT - 10, inst.shape[1]), inst.dtype)
+    return jnp.concatenate([inst, pad_rows], axis=0)
+
+
+def rasterize_pallas(
+    means,
+    scales,
+    quats,
+    opacities,
+    shs,
+    camera,
+    bg_color=None,
+    sh_degree: int = 0,
+    scale_modifier: float = 1.0,
+    active_mask=None,
+    colors_precomp=None,
+    max_instances: int = 2**20,
+    max_chunks_per_tile: int = 64,
+    interpret: bool | None = None,
+) -> RenderOutput:
+    """Tile-binned Pallas rasterization, API-compatible with rasterize_naive."""
+    H, W = camera.height, camera.width
+    if bg_color is None:
+        bg_color = jnp.ones((3,), dtype=means.dtype)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    grid_x, grid_y = tile_grid(W, H)
+    cfg = PallasConfig(
+        grid_x=grid_x,
+        grid_y=grid_y,
+        max_chunks_per_tile=max_chunks_per_tile,
+        interpret=bool(interpret),
+    )
+
+    pre = preprocess(
+        means, scales, quats, opacities, shs, camera,
+        sh_degree=sh_degree, scale_modifier=scale_modifier,
+        active_mask=active_mask, colors_precomp=colors_precomp,
+    )
+    binned = bin_instances(pre, W, H, max_instances, max_chunks_per_tile)
+    inst = _pack_features(pre, binned.gauss_id)
+
+    tiles = _render_tiles(cfg, inst, binned.tile_offset, binned.tile_nchunks)
+
+    # [T, 8, NPIX] -> [8, Hp, Wp] -> crop
+    img = (
+        tiles.reshape(grid_y, grid_x, 8, TILE, TILE)
+        .transpose(2, 0, 3, 1, 4)
+        .reshape(8, grid_y * TILE, grid_x * TILE)[:, :H, :W]
+    )
+    color = img[0:3] + img[5][None] * bg_color[:, None, None]
+    return RenderOutput(
+        color=color,
+        depth=img[3],
+        acc=img[4],
+        final_T=jax.lax.stop_gradient(img[5]),
+        n_contrib=jax.lax.stop_gradient(img[6]).astype(jnp.int32),
+        radii=jax.lax.stop_gradient(pre.radius),
+    )

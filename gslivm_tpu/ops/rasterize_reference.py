@@ -183,13 +183,19 @@ def _composite_pixels(pix_xy, tile_xy, pre_sorted, bg_color):
     contrib = accepted & ~done
 
     w = jnp.where(contrib, alpha_eff * T_prev, 0.0)  # [B, N]
-    color = w @ pre_sorted.color  # [B, 3]
+    # full f32: the default MXU matmul precision (bf16) costs ~1e-3 here
+    color = jnp.einsum("bn,nc->bc", w, pre_sorted.color,
+                       precision=jax.lax.Precision.HIGHEST)  # [B, 3]
     depth = (w * pre_sorted.depth[None, :]).sum(axis=1)
     acc = w.sum(axis=1)
     final_T = jnp.where(contrib, one_minus, 1.0).prod(axis=1)
 
-    n_idx = jnp.arange(alpha_eff.shape[1], dtype=jnp.int32)[None, :] + 1
-    n_contrib = jnp.max(jnp.where(contrib, n_idx, 0), axis=1)
+    # n_contrib counts positions within the pixel's TILE list (the reference's
+    # `contributor` counter, forward.cu:333,359): rank among in-rect valid
+    # gaussians, not among all sorted gaussians.
+    in_list = pre_sorted.valid[None, :] & in_rect
+    rank = jnp.cumsum(in_list.astype(jnp.int32), axis=1)
+    n_contrib = jnp.max(jnp.where(contrib, rank, 0), axis=1)
 
     out_color = color + final_T[:, None] * bg_color[None, :]
     return out_color, depth, acc, final_T, n_contrib

@@ -1,0 +1,150 @@
+"""Pallas tile rasterizer vs the naive oracle: forward allclose + gradient
+allclose (BASELINE.json config[0] methodology, run in interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gslivm_tpu.models.cameras import make_camera
+from gslivm_tpu.ops import sh as sh_ops
+from gslivm_tpu.ops.binning import CHUNK, bin_instances
+from gslivm_tpu.ops.rasterize_reference import preprocess, rasterize_naive, tile_grid
+from gslivm_tpu.ops.rasterize_pallas import rasterize_pallas
+
+
+def _scene(n, rng, spread=1.0, z0=5.0, scale_hi=0.15):
+    means = jnp.asarray(
+        rng.normal(0, spread, (n, 3)) + [0, 0, z0], dtype=jnp.float32
+    )
+    scales = jnp.asarray(rng.uniform(0.02, scale_hi, (n, 3)), dtype=jnp.float32)
+    q = rng.normal(size=(n, 4))
+    quats = jnp.asarray(q / np.linalg.norm(q, axis=1, keepdims=True), jnp.float32)
+    opac = jnp.asarray(rng.uniform(0.2, 0.95, (n,)), dtype=jnp.float32)
+    shs = jnp.asarray(rng.uniform(-0.3, 0.8, (n, 1, 3)), dtype=jnp.float32)
+    return means, scales, quats, opac, shs
+
+
+def _cam(w=64, h=48):
+    return make_camera(np.eye(3), np.zeros(3), w, h, fovx=1.0, fovy=0.8)
+
+
+def test_binning_matches_bruteforce(rng):
+    n = 64
+    cam = _cam()
+    means, scales, quats, opac, shs = _scene(n, rng)
+    pre = preprocess(means, scales, quats, opac, shs, cam)
+    binned = bin_instances(pre, cam.width, cam.height, max_instances=4096)
+
+    gx, gy = tile_grid(cam.width, cam.height)
+    pre_np = jax.tree.map(np.asarray, pre)
+    # brute-force expansion in python
+    expected = {t: [] for t in range(gx * gy)}
+    for g in range(n):
+        if not pre_np.valid[g]:
+            continue
+        for ty in range(pre_np.rect_min[g, 1], pre_np.rect_max[g, 1]):
+            for tx in range(pre_np.rect_min[g, 0], pre_np.rect_max[g, 0]):
+                expected[ty * gx + tx].append(g)
+    # sort each tile's list by (depth, gaussian index)
+    for t in expected:
+        expected[t].sort(key=lambda g: (pre_np.depth[g], g))
+
+    gid = np.asarray(binned.gauss_id)
+    off = np.asarray(binned.tile_offset)
+    nch = np.asarray(binned.tile_nchunks)
+    assert int(binned.overflow) == 0
+    for t in range(gx * gy):
+        run = gid[off[t] : off[t] + CHUNK * nch[t]]
+        real = run[run >= 0].tolist()
+        assert real == expected[t], f"tile {t}"
+        # padding slots are all trailing -1s
+        assert np.all(run[len(real):] == -1)
+
+
+@pytest.mark.parametrize("seed,n", [(0, 50), (1, 200)])
+def test_forward_allclose_oracle(seed, n):
+    rng = np.random.default_rng(seed)
+    cam = _cam()
+    means, scales, quats, opac, shs = _scene(n, rng)
+    bg = jnp.asarray([1.0, 0.5, 0.25])
+
+    ref = rasterize_naive(means, scales, quats, opac, shs, cam, bg_color=bg)
+    out = rasterize_pallas(means, scales, quats, opac, shs, cam, bg_color=bg,
+                           max_instances=1 << 14, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(out.color), np.asarray(ref.color),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.depth), np.asarray(ref.depth),
+                               atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.acc), np.asarray(ref.acc),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.final_T), np.asarray(ref.final_T),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(out.n_contrib),
+                                  np.asarray(ref.n_contrib))
+
+
+def test_gradients_allclose_oracle():
+    rng = np.random.default_rng(2)
+    n = 80
+    cam = _cam(48, 32)
+    means, scales, quats, opac, shs = _scene(n, rng)
+    bg = jnp.asarray([0.2, 0.2, 0.2])
+    gt = jnp.asarray(rng.uniform(size=(3, 32, 48)), dtype=jnp.float32)
+    gacc = jnp.asarray(rng.uniform(size=(32, 48)), dtype=jnp.float32)
+
+    def loss_with(render):
+        def f(means, scales, quats, opac, shs):
+            out = render(means, scales, quats, opac, shs)
+            # exercise color AND acc cotangents (the reference backward's
+            # full input surface), with depth ignored like the reference.
+            return jnp.sum((out.color - gt) ** 2) + jnp.sum(out.acc * gacc)
+        return f
+
+    ref_render = lambda *a: rasterize_naive(*a, cam, bg_color=bg)
+    pal_render = lambda *a: rasterize_pallas(*a, cam, bg_color=bg,
+                                             max_instances=1 << 14,
+                                             interpret=True)
+
+    g_ref = jax.grad(loss_with(ref_render), argnums=(0, 1, 2, 3, 4))(
+        means, scales, quats, opac, shs)
+    g_pal = jax.grad(loss_with(pal_render), argnums=(0, 1, 2, 3, 4))(
+        means, scales, quats, opac, shs)
+
+    names = ["means", "scales", "quats", "opac", "shs"]
+    for name, a, b in zip(names, g_ref, g_pal):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() + 1e-8
+        np.testing.assert_allclose(b, a, atol=2e-4 * scale, rtol=2e-3,
+                                   err_msg=f"grad {name}")
+
+
+def test_empty_scene():
+    cam = _cam()
+    means = jnp.zeros((4, 3)).at[:, 2].set(-1.0)  # all behind camera
+    scales = jnp.full((4, 3), 0.05)
+    quats = jnp.tile(jnp.asarray([[1.0, 0, 0, 0]]), (4, 1))
+    opac = jnp.full((4,), 0.5)
+    shs = jnp.zeros((4, 1, 3))
+    out = rasterize_pallas(means, scales, quats, opac, shs, cam,
+                           bg_color=jnp.asarray([0.3, 0.6, 0.9]),
+                           max_instances=1024, interpret=True)
+    c = np.asarray(out.color)
+    np.testing.assert_allclose(c[0], 0.3, atol=1e-6)
+    np.testing.assert_allclose(c[1], 0.6, atol=1e-6)
+    np.testing.assert_allclose(c[2], 0.9, atol=1e-6)
+    assert float(out.acc.max()) == 0.0
+
+
+def test_instance_overflow_counted():
+    rng = np.random.default_rng(3)
+    cam = _cam()
+    means, scales, quats, opac, shs = _scene(100, rng)
+    pre = preprocess(means, scales, quats, opac, shs, cam)
+    binned = bin_instances(pre, cam.width, cam.height, max_instances=8)
+    assert int(binned.overflow) > 0
+    # and rendering still runs without error
+    out = rasterize_pallas(means, scales, quats, opac, shs, cam,
+                           max_instances=8, interpret=True)
+    assert np.all(np.isfinite(np.asarray(out.color)))
