@@ -1,0 +1,85 @@
+"""Headline benchmark: Pallas rasterizer fwd+bwd throughput at 1080p.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "Mrays/s", "vs_baseline": N}
+
+The baseline is the north-star implied rate from BASELINE.json: >=30 FPS
+incremental 1080p optimization => 30 * 1920 * 1080 rays/s = 62.2 Mrays/s
+for a full forward+backward pass (the reference publishes no numbers,
+BASELINE.md).
+
+Run on the real TPU chip. Measures steady-state time of a jitted
+value_and_grad through the full rasterization pipeline (preprocess +
+binning + sort + Pallas fwd + Pallas bwd + gradient scatter).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+WIDTH, HEIGHT = 1920, 1080
+N_GAUSS = 200_000
+MAX_INSTANCES = 1 << 21
+ITERS = 10
+BASELINE_MRAYS = 30 * WIDTH * HEIGHT / 1e6  # 62.2
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gslivm_tpu.models.cameras import make_camera
+    from gslivm_tpu.ops.rasterize_pallas import rasterize_pallas
+
+    rng = np.random.default_rng(0)
+    n = N_GAUSS
+    means = jnp.asarray(rng.normal(0, 2.0, (n, 3)) + [0, 0, 6.0], jnp.float32)
+    scales = jnp.asarray(rng.uniform(0.01, 0.05, (n, 3)), jnp.float32)
+    q = rng.normal(size=(n, 4))
+    quats = jnp.asarray(q / np.linalg.norm(q, axis=1, keepdims=True), jnp.float32)
+    opac = jnp.asarray(rng.uniform(0.3, 0.9, (n,)), jnp.float32)
+    shs = jnp.asarray(rng.uniform(-0.3, 0.8, (n, 1, 3)), jnp.float32)
+    cam = make_camera(np.eye(3), np.zeros(3), WIDTH, HEIGHT, fovx=1.2, fovy=0.8)
+    gt = jnp.zeros((3, HEIGHT, WIDTH), jnp.float32)
+
+    on_tpu = jax.default_backend() == "tpu"
+
+    def loss(means, scales, quats, opac, shs):
+        out = rasterize_pallas(
+            means, scales, quats, opac, shs, cam,
+            max_instances=MAX_INSTANCES, interpret=not on_tpu,
+        )
+        return jnp.sum((out.color - gt) ** 2) + 0.1 * jnp.sum(out.acc)
+
+    step = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))
+
+    # compile + warmup
+    g = step(means, scales, quats, opac, shs)
+    jax.block_until_ready(g)
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        g = step(means, scales, quats, opac, shs)
+    jax.block_until_ready(g)
+    dt = (time.perf_counter() - t0) / ITERS
+
+    mrays = WIDTH * HEIGHT / dt / 1e6
+    print(json.dumps({
+        "metric": "rasterizer_fwd_bwd_1080p",
+        "value": round(mrays, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / BASELINE_MRAYS, 3),
+        "extra": {
+            "n_gaussians": n,
+            "ms_per_step": round(dt * 1e3, 2),
+            "fps_equiv": round(1.0 / dt, 2),
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -29,6 +29,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .rasterize_reference import TILE, PreprocessedGaussians, tile_grid
 
@@ -60,44 +61,77 @@ def bin_instances(
     """
     grid_x, grid_y = tile_grid(width, height)
     num_tiles = grid_x * grid_y
+    num_gauss = pre.depth.shape[0]
 
-    counts = jax.lax.stop_gradient(pre.tiles_touched).astype(jnp.int32)
     depth = jax.lax.stop_gradient(pre.depth)
-    rect_min = pre.rect_min
-    rect_max = pre.rect_max
+
+    # 1) Depth-order the gaussians FIRST (stable; invalid last). After this
+    #    permutation, gaussian index == depth rank, which makes the fused
+    #    sort key below exact and saves a 2M-wide rank gather.
+    dorder = jnp.argsort(
+        jnp.where(pre.valid, depth, jnp.inf), stable=True
+    ).astype(jnp.int32)
+    counts = pre.tiles_touched[dorder].astype(jnp.int32)
+    rect_min = pre.rect_min[dorder]
+    rect_max = pre.rect_max[dorder]
 
     offsets = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)]
     )
     total = offsets[-1] + counts[-1]
 
-    # slot -> gaussian: rightmost g with offsets[g] <= s (inverse of the CUDA
-    # duplicateWithKeys scatter, rasterizer_impl.cu:64-101).
+    # 2) slot -> (depth-ranked) gaussian WITHOUT searchsorted (XLA lowers
+    #    searchsorted to ~log2(P) serial 2M-gathers — 276 ms at 1080p):
+    #    scatter each gaussian's index at its start offset, then a running
+    #    max fills the runs. Equal offsets (zero-count gaussians) resolve to
+    #    the largest index, which is the run owner.
     slots = jnp.arange(max_instances, dtype=jnp.int32)
-    gid = jnp.searchsorted(offsets, slots, side="right").astype(jnp.int32) - 1
+    marks = jnp.zeros((max_instances,), jnp.int32).at[offsets].max(
+        jnp.arange(num_gauss, dtype=jnp.int32), mode="drop")
+    gid = jax.lax.cummax(marks)
+    off_marks = jnp.zeros((max_instances,), jnp.int32).at[offsets].max(
+        offsets, mode="drop")
+    off_slot = jax.lax.cummax(off_marks)
     slot_valid = slots < jnp.minimum(total, max_instances)
-    gid = jnp.where(slot_valid, gid, 0)
 
-    # slot -> tile within the gaussian's rect, row-major like the CUDA loop.
-    k = slots - offsets[gid]
-    rect_w = jnp.maximum(rect_max[gid, 0] - rect_min[gid, 0], 1)
-    tile_x = rect_min[gid, 0] + k % rect_w
-    tile_y = rect_min[gid, 1] + k // rect_w
-    tile_id = tile_y * grid_x + tile_x
+    # 3) slot -> tile within the gaussian's rect, row-major like the CUDA
+    #    loop (duplicateWithKeys, rasterizer_impl.cu:64-101). Rect metadata
+    #    is packed into ONE int32 per gaussian so the 2M-wide slot expansion
+    #    costs a single gather.
+    k = slots - off_slot
+    rect_w = jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 1)
+    meta = rect_min[:, 0] | (rect_min[:, 1] << 10) | (rect_w << 20)  # <1024 tiles/axis
+    m = meta[gid]
+    r_x = m & 0x3FF
+    r_y = (m >> 10) & 0x3FF
+    r_w = m >> 20
+    tile_id = (r_y + k // r_w) * grid_x + (r_x + k % r_w)
     tile_id = jnp.where(slot_valid, tile_id, num_tiles)  # sentinel -> end
 
-    # Lexicographic stable sort by (tile, depth); ties keep gaussian order.
-    tile_sorted, _, gid_sorted = jax.lax.sort(
-        (tile_id, depth[gid], gid), num_keys=2, is_stable=True
-    )
+    # 4) ONE-key sort: (tile << bits_p) | depth_rank. Identical ordering to
+    #    the reference's [tile | depth-bits] radix sort with stable ties
+    #    (rasterizer_impl.cu:94, 295-309), since rank order == (depth, index)
+    #    order. Falls back to a 2-key lexicographic sort if the packed key
+    #    would overflow int32.
+    bits_p = max(int(np.ceil(np.log2(max(num_gauss, 2)))), 1)
+    bits_tile = int(np.ceil(np.log2(num_tiles + 2)))
+    if bits_p + bits_tile <= 31:
+        key = (tile_id << bits_p) | gid
+        key_sorted, gid_sorted = jax.lax.sort((key, gid), num_keys=1,
+                                              is_stable=False)
+        tile_sorted = key_sorted >> bits_p
+    else:
+        tile_sorted, _, gid_sorted = jax.lax.sort(
+            (tile_id, depth[dorder][gid], gid), num_keys=2, is_stable=True
+        )
 
-    # Per-tile ranges in the sorted array (identifyTileRanges equivalent).
+    # 5) Per-tile ranges (identifyTileRanges equivalent; 8k-element
+    #    searchsorted over the sorted 2M keys is cheap) + cap + CHUNK-pad.
     tids = jnp.arange(num_tiles, dtype=jnp.int32)
     start = jnp.searchsorted(tile_sorted, tids, side="left").astype(jnp.int32)
     end = jnp.searchsorted(tile_sorted, tids, side="right").astype(jnp.int32)
     cnt = end - start
 
-    # Cap per-tile length (drop the most-occluded tail) and pad to CHUNK.
     cnt_capped = jnp.minimum(cnt, CHUNK * max_chunks_per_tile)
     cnt_padded = ((cnt_capped + CHUNK - 1) // CHUNK) * CHUNK
     tile_offset = jnp.concatenate(
@@ -106,18 +140,20 @@ def bin_instances(
 
     padded_size = _padded_capacity(max_instances, num_tiles)
 
-    # Scatter sorted instances into the aligned layout.
-    sorted_slots = jnp.arange(max_instances, dtype=jnp.int32)
-    in_tile_pos = sorted_slots - start[jnp.clip(tile_sorted, 0, num_tiles - 1)]
-    keep = (tile_sorted < num_tiles) & (in_tile_pos < cnt_capped[jnp.clip(tile_sorted, 0, num_tiles - 1)])
-    dst = jnp.where(
-        keep,
-        tile_offset[jnp.clip(tile_sorted, 0, num_tiles - 1)] + in_tile_pos,
-        padded_size,  # dropped slots scatter into a discard slot
-    )
+    # 6) Move sorted instances into the aligned layout. dst = s + delta[tile]
+    #    and the cap bound are fetched with a single 2-column row gather.
+    tile_clip = jnp.clip(tile_sorted, 0, num_tiles - 1)
+    per_tile = jnp.stack([tile_offset - start, tile_offset + cnt_capped], axis=1)
+    fetched = per_tile[tile_clip]  # [MI, 2]
+    dst = slots + fetched[:, 0]
+    keep = (tile_sorted < num_tiles) & (dst < fetched[:, 1])
+    dst = jnp.where(keep, dst, padded_size)  # dropped -> discard slot
     gauss_id = jnp.full((padded_size + 1,), -1, dtype=jnp.int32)
     gauss_id = gauss_id.at[dst].set(jnp.where(keep, gid_sorted, -1), mode="drop")
     gauss_id = gauss_id[:padded_size]
+
+    # 7) Un-permute: slots carry depth-ranked ids; map back to original ids.
+    gauss_id = jnp.where(gauss_id >= 0, dorder[jnp.maximum(gauss_id, 0)], -1)
 
     overflow = jnp.maximum(total - max_instances, 0) + jnp.sum(cnt - cnt_capped)
 

@@ -58,18 +58,24 @@ def compute_cov3d(scales, quats, scale_modifier=1.0):
     Packing order matches forward.cu:170-175: (xx, xy, xz, yy, yz, zz).
     Sigma = R diag((mod*s)^2) R^T with R from the unnormalized quat.
     """
+    # Written as explicit channel arithmetic (no batched 3x3 matmuls): XLA
+    # lowers [N,3,3] einsums to tiny MXU calls that run ~10x slower than the
+    # fused elementwise chain on the VPU.
     R = quat_to_rotmat(quats)  # [..., 3, 3]
-    s = scale_modifier * scales  # [..., 3]
-    # M = diag(s) @ R^T in reference terms; Sigma = M^T M = R diag(s^2) R^T.
-    sigma = _einsum("...ij,...j,...kj->...ik", R, s * s, R)
+    s2 = (scale_modifier * scales) ** 2  # [..., 3]
+    r0, r1, r2 = R[..., 0, :], R[..., 1, :], R[..., 2, :]
+
+    def dot_s2(a, b):
+        return (a * s2 * b).sum(axis=-1)
+
     return jnp.stack(
         [
-            sigma[..., 0, 0],
-            sigma[..., 0, 1],
-            sigma[..., 0, 2],
-            sigma[..., 1, 1],
-            sigma[..., 1, 2],
-            sigma[..., 2, 2],
+            dot_s2(r0, r0),
+            dot_s2(r0, r1),
+            dot_s2(r0, r2),
+            dot_s2(r1, r1),
+            dot_s2(r1, r2),
+            dot_s2(r2, r2),
         ],
         axis=-1,
     )
@@ -105,25 +111,34 @@ def compute_cov2d(mean_view, cov3d6, R_cw, focal_x, focal_y, tan_fovx, tan_fovy)
     tx = jnp.clip(mean_view[..., 0] / tz, -limx, limx) * tz
     ty = jnp.clip(mean_view[..., 1] / tz, -limy, limy) * tz
 
-    # J: 2x3 Jacobian of perspective projection at (tx, ty, tz).
-    zero = jnp.zeros_like(tz)
-    J = jnp.stack(
-        [
-            jnp.stack([focal_x / tz, zero, -(focal_x * tx) / (tz * tz)], axis=-1),
-            jnp.stack([zero, focal_y / tz, -(focal_y * ty) / (tz * tz)], axis=-1),
-        ],
-        axis=-2,
-    )  # [..., 2, 3]
-
-    Vrk = unpack_cov3d(cov3d6)  # [..., 3, 3]
     # cov2d = J R_cw Vrk R_cw^T J^T (the glm transposes in forward.cu:100-126
-    # reduce to exactly this once column-major storage is accounted for).
-    JW = _einsum("...ij,jk->...ik", J, R_cw)  # [..., 2, 3]
-    cov = _einsum("...ij,...jk,...lk->...il", JW, Vrk, JW)  # [..., 2, 2]
+    # reduce to exactly this once column-major storage is accounted for),
+    # written as explicit row arithmetic — see compute_cov3d note.
+    # J rows: j0 = (fx/tz, 0, -fx*tx/tz^2), j1 = (0, fy/tz, -fy*ty/tz^2).
+    inv_z = 1.0 / tz
+    j00 = focal_x * inv_z
+    j02 = -(focal_x * tx) * inv_z * inv_z
+    j11 = focal_y * inv_z
+    j12 = -(focal_y * ty) * inv_z * inv_z
 
-    a = cov[..., 0, 0] + 0.3
-    b = cov[..., 0, 1]
-    c = cov[..., 1, 1] + 0.3
+    # rows of T = J @ R_cw (R_cw is a single 3x3, entries are scalars)
+    t0 = [j00 * R_cw[0, i] + j02 * R_cw[2, i] for i in range(3)]
+    t1 = [j11 * R_cw[1, i] + j12 * R_cw[2, i] for i in range(3)]
+
+    c0, c1, c2, c3, c4, c5 = (cov3d6[..., i] for i in range(6))
+
+    def vrk_dot(u):  # Vrk @ u for symmetric packed Vrk
+        return (
+            c0 * u[0] + c1 * u[1] + c2 * u[2],
+            c1 * u[0] + c3 * u[1] + c4 * u[2],
+            c2 * u[0] + c4 * u[1] + c5 * u[2],
+        )
+
+    v0 = vrk_dot(t0)
+    v1 = vrk_dot(t1)
+    a = t0[0] * v0[0] + t0[1] * v0[1] + t0[2] * v0[2] + 0.3
+    b = t0[0] * v1[0] + t0[1] * v1[1] + t0[2] * v1[2]
+    c = t1[0] * v1[0] + t1[1] * v1[1] + t1[2] * v1[2] + 0.3
     return jnp.stack([a, b, c], axis=-1)
 
 

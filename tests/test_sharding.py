@@ -1,0 +1,89 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh:
+sharded train step must match the single-device step numerically."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gslivm_tpu.config import GsOptimParams
+from gslivm_tpu.models import gaussian_model as gm
+from gslivm_tpu.models import training
+from gslivm_tpu.models.cameras import make_camera
+from gslivm_tpu.ops.rasterize import RasterizeSettings
+from gslivm_tpu.parallel import sharding
+
+
+@pytest.fixture(scope="module")
+def scene():
+    rng = np.random.default_rng(3)
+    m = 50
+    xyz = jnp.asarray(rng.normal(0, 1.0, (m, 3)) + [0, 0, 5.0], jnp.float32)
+    rgb = jnp.asarray(rng.uniform(0, 255, (m, 3)), jnp.float32)
+    cov = jnp.tile(jnp.eye(3)[None] * 0.003, (m, 1, 1)).astype(jnp.float32)
+    batch = gm.PointBatch(xyz=xyz, rgb=rgb, cov=cov, mask=jnp.ones(m, bool))
+    params = gm.create_from_points(batch, 3.0, capacity=64)
+    cam = make_camera(np.eye(3), np.zeros(3), 64, 48, fovx=1.0, fovy=0.8)
+    gt = jnp.asarray(rng.uniform(size=(1, 3, 48, 64)), jnp.float32)
+    return params, cam, gt
+
+
+def test_mesh_shapes():
+    mesh = sharding.make_mesh(8)
+    assert mesh.devices.shape == (2, 4)
+    assert mesh.axis_names == ("gauss", "pixel")
+    mesh1 = sharding.make_mesh(8, gauss_axis=1)
+    assert mesh1.devices.shape == (1, 8)
+
+
+@pytest.mark.parametrize("gauss_axis", [1, 2])
+def test_sharded_step_matches_single_device(scene, gauss_axis):
+    params, cam, gt = scene
+    opt_params = GsOptimParams()
+    mesh = sharding.make_mesh(8, gauss_axis=gauss_axis)
+
+    optimizer = training.make_optimizer(opt_params)
+
+    # single-device reference step (no history pairs, white bg)
+    ref_params, _, ref_metrics = training.train_step(
+        params, optimizer.init(params), [cam], gt, training.empty_simi(max_gauss=64),
+        opt_params=opt_params, settings=RasterizeSettings(backend="naive"),
+    )
+
+    sh_params = sharding.shard_params(params, mesh)
+    opt_state = optimizer.init(sh_params)
+    new_params, _, loss = sharding.sharded_train_step(
+        mesh, sh_params, opt_state, [cam], gt[0][None],
+        training.empty_simi(max_gauss=64), opt_params=opt_params,
+    )
+
+    # image loss must match the single-device metric
+    np.testing.assert_allclose(float(loss), float(ref_metrics.image_loss),
+                               rtol=1e-5, atol=1e-6)
+    # updated parameters must match
+    for field in ("xyz", "features_dc", "scaling", "rotation", "opacity"):
+        a = np.asarray(getattr(ref_params, field))
+        b = np.asarray(getattr(new_params, field))
+        np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-6,
+                                   err_msg=field)
+
+
+def test_sharded_simi_loss_engages(scene):
+    params, cam, gt = scene
+    mesh = sharding.make_mesh(8, gauss_axis=2)
+    opt_params = GsOptimParams()
+    simi = training.SimiInputs(
+        points=jnp.zeros((training.MAX_SIMI, 3)).at[0].set(jnp.asarray([50.0, 0, 5])),
+        point_mask=jnp.arange(training.MAX_SIMI) < 1,
+        gauss_idx=jnp.arange(64, dtype=jnp.int32) % 50,
+        gauss_mask=jnp.arange(64) < 50,
+    )
+    optimizer = training.make_optimizer(opt_params)
+    sh_params = sharding.shard_params(params, mesh)
+    _, _, loss_with = sharding.sharded_train_step(
+        mesh, sh_params, optimizer.init(sh_params), [cam], gt[0][None], simi,
+        opt_params=opt_params)
+    _, _, loss_without = sharding.sharded_train_step(
+        mesh, sh_params, optimizer.init(sh_params), [cam], gt[0][None],
+        training.empty_simi(max_gauss=64), opt_params=opt_params)
+    assert float(loss_with) > float(loss_without) + 1.0  # far anchor penalty
