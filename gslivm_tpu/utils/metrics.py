@@ -1,0 +1,113 @@
+"""Offline evaluation harness: PSNR / SSIM / depth-L1 over saved renders.
+
+Behavioral spec: reference python tooling (SURVEY §6):
+  - python/evaluate_image.py:13-52 — split side-by-side images into
+    render|GT halves, compute PSNR/SSIM (and LPIPS when a torch LPIPS
+    model is available) and report means.
+  - python/evaluate_no_split.py — same over separate renders/ and gt/ dirs.
+  - python/see_depth_l1.py:53-59 — inverse-depth L1 between depth halves.
+
+Images here are [H, W, 3] uint8 or [3, H, W] float in [0,1]; all math runs
+through the same jitted loss ops as training (ops/losses.py) so offline
+and online metrics agree exactly.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import zlib
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import losses as loss_ops
+
+
+def load_png(path: str) -> np.ndarray:
+    """Minimal PNG reader for files written by utils.outputs.save_png."""
+    with open(path, "rb") as f:
+        data = f.read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    pos = 8
+    w = h = None
+    idat = b""
+    while pos < len(data):
+        length = struct.unpack(">I", data[pos:pos + 4])[0]
+        tag = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack(">IIBB", payload[:10])
+            assert depth == 8 and ctype == 2, "only RGB8 supported"
+        elif tag == b"IDAT":
+            idat += payload
+        pos += 12 + length
+    raw = zlib.decompress(idat)
+    stride = w * 3 + 1
+    img = np.zeros((h, w, 3), np.uint8)
+    prev = np.zeros(w * 3, np.uint8)
+    for i in range(h):
+        row = raw[i * stride:(i + 1) * stride]
+        filt, body = row[0], np.frombuffer(row[1:], np.uint8).copy()
+        if filt == 0:
+            pass
+        elif filt == 1:  # Sub
+            for j in range(3, len(body)):
+                body[j] = (int(body[j]) + int(body[j - 3])) & 0xFF
+        elif filt == 2:  # Up
+            body = ((body.astype(np.int32) + prev) & 0xFF).astype(np.uint8)
+        else:
+            raise ValueError(f"unsupported PNG filter {filt}")
+        img[i] = body.reshape(w, 3)
+        prev = body
+    return img
+
+
+def _to_chw(img) -> jnp.ndarray:
+    arr = np.asarray(img)
+    if arr.ndim == 3 and arr.shape[-1] == 3:
+        arr = arr.transpose(2, 0, 1).astype(np.float32) / (
+            255.0 if arr.dtype == np.uint8 else 1.0)
+    return jnp.asarray(arr, jnp.float32)
+
+
+def image_pair_metrics(render, gt) -> dict:
+    r, g = _to_chw(render), _to_chw(gt)
+    return {
+        "psnr": float(loss_ops.psnr(r, g)),
+        "ssim": float(loss_ops.ssim(r, g)),
+        "l1": float(loss_ops.l1_loss(r, g)),
+    }
+
+
+def split_side_by_side(img: np.ndarray):
+    """render|GT halves of a side-by-side image (evaluate_image.py:17-29)."""
+    w = img.shape[1] // 2
+    return img[:, :w], img[:, w:]
+
+
+def evaluate_dir(path: str) -> dict:
+    """evaluate_image.py over a directory of side-by-side PNGs."""
+    psnrs, ssims, l1s = [], [], []
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".png"):
+            continue
+        render, gt = split_side_by_side(load_png(os.path.join(path, name)))
+        m = image_pair_metrics(render, gt)
+        psnrs.append(m["psnr"])
+        ssims.append(m["ssim"])
+        l1s.append(m["l1"])
+    n = len(psnrs)
+    return {
+        "count": n,
+        "mean_psnr": float(np.mean(psnrs)) if n else 0.0,
+        "mean_ssim": float(np.mean(ssims)) if n else 0.0,
+        "mean_l1": float(np.mean(l1s)) if n else 0.0,
+    }
+
+
+def inverse_depth_l1(depth_a, depth_b, epsilon: float = 1e-2) -> float:
+    """see_depth_l1.py:53-59: L1 between inverse depths."""
+    ia = loss_ops.inv_depth(jnp.asarray(depth_a, jnp.float32), epsilon)
+    ib = loss_ops.inv_depth(jnp.asarray(depth_b, jnp.float32), epsilon)
+    return float(jnp.abs(ia - ib).mean())
