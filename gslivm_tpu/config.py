@@ -104,6 +104,8 @@ class IcpOptions:
     threshold_translation_norm: float = 0.01
     num_closest_neighbors: int = 1
     threshold_voxel_occupancy: int = 1
+    weight_neighborhood: float = 0.5
+    weight_alpha: float = 0.5
     min_num_residuals: int = 200
     max_num_residuals: int = 400
 
