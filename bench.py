@@ -28,7 +28,20 @@ BASELINE_MRAYS = 30 * WIDTH * HEIGHT / 1e6  # 62.2
 
 
 def main():
+    import os
+
     import jax
+
+    # persistent compile cache: the axon remote compiles are slow (40-600 s);
+    # cache executables keyed by HLO so repeat runs start in seconds
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from gslivm_tpu.models.cameras import make_camera

@@ -1,0 +1,353 @@
+"""Visual-inertial processing: LK tracking, PnP gating, ESIKF visual
+updates, and the Bayesian-colored point map.
+
+Behavioral spec: reference `src/liw/imageProcessing.cpp`,
+`opticalFlowTracker.cpp`, `rgbMapTracker.cpp`, `cloudMap.cpp`:
+
+  - optical flow: pyramidal LK frame-to-frame tracking of projected map
+    points (the reference vendors OpenCV's lkpyramid with SSE2,
+    lkpyramid.cpp:1; we call cv2.calcOpticalFlowPyrLK — same algorithm),
+    fundamental-matrix RANSAC gate (opticalFlowTracker.cpp:135-140),
+    per-point image velocity (151-158), RANSAC PnP outlier rejection
+    (257-316), track top-up from the projection list (13-92, max 300).
+  - vioEsikf (imageProcessing.cpp:270-417): 11-dim state [td, R_ic(3),
+    t_ic(3), fx, fy, cx, cy]. With ifEstimateExtrinsic/Intrinsic hardcoded
+    false (imageProcessing.cpp:20-21) the measurement Jacobian has only the
+    pixel-velocity (td) column — the update effectively estimates the
+    camera-IMU time offset; reproduced faithfully.
+  - vioPhotometric (440-602): 6-dim RGB photometric update whose H is zero
+    under the same hardcoded flags — inert in the live config; we implement
+    the td-active esikf and keep the photometric covariance bookkeeping.
+  - rgbPoint::updateRgb (cloudMap.cpp:53-93): recursive-Bayes per-channel
+    color fusion with process noise 0.1*dt, obs sigma 15, and the 1.2x
+    observation-distance rejection; renderPointsInRecentVoxel
+    (rgbMapTracker.cpp:170-233) applies it to recently-visited voxels.
+  - selectPointsForProjection (rgbMapTracker.cpp:45-142): depth-buffered 2D
+    grid masking to pick well-spread map points for tracking.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..config import MapOptions
+from . import so3
+
+IMAGE_OBS_COV = 15.0       # cloudMap.cpp:49
+PROCESS_NOISE_SIGMA = 0.1  # cloudMap.cpp:50
+MIN_ITER_POINTS = 10       # imageProcessing.cpp:268
+
+
+def huber_scale(residual: float, outlier_threshold: float = 1.0) -> float:
+    """getHuberLoss (imageProcessing.cpp:256-266)."""
+    if residual / outlier_threshold < 1.0:
+        return 1.0
+    return (2 * np.sqrt(residual) / np.sqrt(outlier_threshold) - 1.0) / residual
+
+
+class ColorPointMap:
+    """Colored map points in a voxel grid (color_voxel_map + rgbMapTracker).
+
+    Struct-of-arrays storage; every point carries the recursive-Bayes color
+    state (rgb, per-channel sigma, N_rgb, observe_distance, last obs time)
+    and a 2D image velocity for the td estimation.
+    """
+
+    def __init__(self, opts: MapOptions = MapOptions()):
+        self.opts = opts
+        self.position = np.zeros((0, 3))
+        self.rgb = np.zeros((0, 3))
+        self.cov_rgb = np.zeros((0, 3))
+        self.n_rgb = np.zeros(0, np.int32)
+        self.obs_distance = np.zeros(0)
+        self.last_obs_time = np.zeros(0)
+        self.image_velocity = np.zeros((0, 2))
+        self.voxels: dict[tuple, list[int]] = {}
+        self._dedup: set[tuple] = set()
+        self.recent_voxels: list[tuple] = []
+
+    def __len__(self):
+        return self.position.shape[0]
+
+    def add_points(self, points_world: np.ndarray, step: int | None = None):
+        """addPointToColorMap (lioOptimization.cpp:599-666): voxel capacity
+        + min-distance dedup grid; tracks recently-visited voxels."""
+        o = self.opts
+        step = step or o.add_point_step
+        pts = np.asarray(points_world, np.float64)[::max(step, 1)]
+        recent: dict[tuple, None] = {}
+        new_rows = []
+        for p in pts:
+            key = tuple(np.trunc(p / o.size_voxel_map).astype(np.int64))
+            dkey = tuple(np.trunc(p / o.min_distance_points).astype(np.int64))
+            recent[key] = None
+            lst = self.voxels.setdefault(key, [])
+            if len(lst) >= o.max_num_points_in_voxel:
+                continue
+            if dkey in self._dedup:
+                continue
+            self._dedup.add(dkey)
+            lst.append(len(self.position) + len(new_rows))
+            new_rows.append(p)
+        if new_rows:
+            n = len(new_rows)
+            self.position = np.concatenate([self.position, np.asarray(new_rows)])
+            self.rgb = np.concatenate([self.rgb, np.zeros((n, 3))])
+            self.cov_rgb = np.concatenate([self.cov_rgb, np.zeros((n, 3))])
+            self.n_rgb = np.concatenate([self.n_rgb, np.zeros(n, np.int32)])
+            self.obs_distance = np.concatenate([self.obs_distance, np.zeros(n)])
+            self.last_obs_time = np.concatenate([self.last_obs_time, np.zeros(n)])
+            self.image_velocity = np.concatenate([self.image_velocity,
+                                                  np.zeros((n, 2))])
+        self.recent_voxels = list(recent.keys())
+        return len(new_rows)
+
+    # ---- Bayesian color update (cloudMap.cpp:53-93, vectorized) ----------
+
+    def update_rgb(self, idx: np.ndarray, colors: np.ndarray,
+                   distances: np.ndarray, obs_time: float):
+        """Vectorized rgbPoint::updateRgb over the point indices idx."""
+        idx = np.asarray(idx)
+        if idx.size == 0:
+            return 0
+        colors = np.asarray(colors, np.float64)
+        distances = np.asarray(distances, np.float64)
+
+        seen = self.n_rgb[idx] > 0
+        reject = seen & (self.obs_distance[idx] != 0) & (
+            distances > self.obs_distance[idx] * 1.2)
+        use = ~reject
+
+        first = use & ~seen
+        fi = idx[first]
+        self.rgb[fi] = np.round(colors[first])
+        self.cov_rgb[fi] = IMAGE_OBS_COV
+        self.obs_distance[fi] = distances[first]
+        self.last_obs_time[fi] = obs_time
+        self.n_rgb[fi] = 1
+
+        upd = use & seen
+        ui = idx[upd]
+        if ui.size:
+            dt = obs_time - self.last_obs_time[ui]
+            sigma = self.cov_rgb[ui] + (PROCESS_NOISE_SIGMA * dt)[:, None]
+            old_sigma = sigma.copy()
+            obs_sigma = IMAGE_OBS_COV
+            new_sigma = np.sqrt(1.0 / (1.0 / sigma**2 + 1.0 / obs_sigma**2))
+            self.rgb[ui] = new_sigma**2 * (
+                self.rgb[ui] / old_sigma**2 + colors[upd] / obs_sigma**2)
+            self.cov_rgb[ui] = new_sigma
+            closer = distances[upd] < self.obs_distance[ui]
+            self.obs_distance[ui] = np.where(closer, distances[upd],
+                                             self.obs_distance[ui])
+            self.last_obs_time[ui] = obs_time
+            self.n_rgb[ui] += 1
+        return int(ui.size) if ui.size else 0
+
+    def render_recent(self, image: np.ndarray, R_cw: np.ndarray,
+                      t_cw: np.ndarray, K: np.ndarray, cam_center: np.ndarray,
+                      obs_time: float):
+        """renderPointsInRecentVoxel: Bayesian color update of all points in
+        recently-visited voxels visible in this frame."""
+        idx = [i for key in self.recent_voxels for i in self.voxels.get(key, [])]
+        if not idx:
+            return 0
+        idx = np.asarray(idx)
+        pts = self.position[idx]
+        p_cam = pts @ R_cw.T + t_cw
+        z = p_cam[:, 2]
+        ok = z > 1e-3
+        u = K[0, 0] * p_cam[:, 0] / np.where(ok, z, 1) + K[0, 2]
+        v = K[1, 1] * p_cam[:, 1] / np.where(ok, z, 1) + K[1, 2]
+        H, W = image.shape[:2]
+        ok &= (u >= 0) & (u < W - 1) & (v >= 0) & (v < H - 1)
+        if not ok.any():
+            return 0
+        idx, u, v = idx[ok], u[ok], v[ok]
+        colors = _bilinear(image, u, v)
+        dist = np.linalg.norm(self.position[idx] - cam_center, axis=1)
+        return self.update_rgb(idx, colors, dist, obs_time)
+
+    def select_points_for_projection(self, R_cw, t_cw, K, width, height,
+                                     min_dist: float = 10.0,
+                                     min_views: int = 0):
+        """selectPointsForProjection (rgbMapTracker.cpp:45-142): project map
+        points, keep the nearest per 2D grid cell of size min_dist px."""
+        if len(self) == 0:
+            return np.zeros(0, np.int64), np.zeros((0, 2))
+        pts = self.position
+        mask = self.n_rgb >= min_views
+        p_cam = pts @ R_cw.T + t_cw
+        z = p_cam[:, 2]
+        ok = mask & (z > 1e-3)
+        u = K[0, 0] * p_cam[:, 0] / np.where(ok, z, 1) + K[0, 2]
+        v = K[1, 1] * p_cam[:, 1] / np.where(ok, z, 1) + K[1, 2]
+        ok &= (u >= 0) & (u < width) & (v >= 0) & (v < height)
+        idx = np.nonzero(ok)[0]
+        if idx.size == 0:
+            return np.zeros(0, np.int64), np.zeros((0, 2))
+        cell = (np.trunc(v[idx] / min_dist).astype(np.int64) * 100000
+                + np.trunc(u[idx] / min_dist).astype(np.int64))
+        best: dict[int, tuple[float, int]] = {}
+        for i, c, d in zip(idx, cell, z[idx]):
+            cur = best.get(c)
+            if cur is None or d < cur[0]:
+                best[c] = (d, i)
+        sel = np.asarray([i for _, i in best.values()])
+        return sel, np.stack([u[sel], v[sel]], axis=1)
+
+
+def _bilinear(image: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Bilinear RGB sample ([N,3] float) at sub-pixel coords."""
+    x0 = np.floor(u).astype(int)
+    y0 = np.floor(v).astype(int)
+    wx = (u - x0)[:, None]
+    wy = (v - y0)[:, None]
+    img = image.astype(np.float64)
+    return ((img[y0, x0] * (1 - wx) + img[y0, x0 + 1] * wx) * (1 - wy)
+            + (img[y0 + 1, x0] * (1 - wx) + img[y0 + 1, x0 + 1] * wx) * wy)
+
+
+@dataclasses.dataclass
+class VioState:
+    """The 11-dim ESIKF visual state (imageProcessing.h:47, 88-94)."""
+
+    time_td: float = 0.0
+    R_ic: np.ndarray = dataclasses.field(default_factory=lambda: np.eye(3))
+    t_ic: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3))
+    fx: float = 400.0
+    fy: float = 400.0
+    cx: float = 320.0
+    cy: float = 240.0
+    covariance: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.eye(11) * 1e-3)
+
+
+class OpticalFlowTracker:
+    """Frame-to-frame LK track set over colored map points (cv2-backed)."""
+
+    def __init__(self, max_tracks: int = 300):
+        self.max_tracks = max_tracks
+        self.prev_gray: np.ndarray | None = None
+        self.track_uv = np.zeros((0, 2), np.float32)
+        self.track_idx = np.zeros(0, np.int64)
+        self.last_time: float | None = None
+
+    def top_up(self, sel_idx: np.ndarray, sel_uv: np.ndarray,
+               min_sep: float = 10.0):
+        """updateAndAppendTrackPoints: add well-separated new tracks."""
+        have = set(self.track_idx.tolist())
+        new_uv, new_idx = [], []
+        for i, uv in zip(sel_idx, sel_uv):
+            if len(self.track_idx) + len(new_idx) >= self.max_tracks:
+                break
+            if int(i) in have:
+                continue
+            if len(self.track_uv) and np.min(
+                    np.linalg.norm(self.track_uv - uv, axis=1)) < min_sep:
+                continue
+            new_uv.append(uv)
+            new_idx.append(int(i))
+        if new_idx:
+            self.track_uv = np.concatenate(
+                [self.track_uv, np.asarray(new_uv, np.float32)])
+            self.track_idx = np.concatenate(
+                [self.track_idx, np.asarray(new_idx)])
+
+    def track(self, gray: np.ndarray, t: float, cmap: ColorPointMap) -> bool:
+        """trackImage (opticalFlowTracker.cpp:103-181): LK + fundamental
+        RANSAC + image-velocity update."""
+        import cv2
+
+        if self.prev_gray is None or len(self.track_uv) < 8:
+            self.prev_gray = gray
+            self.last_time = t
+            return len(self.track_uv) >= 8
+        nxt, status, _ = cv2.calcOpticalFlowPyrLK(
+            self.prev_gray, gray, self.track_uv, None, winSize=(21, 21),
+            maxLevel=3)
+        ok = status.reshape(-1).astype(bool)
+        H, W = gray.shape[:2]
+        inb = ((nxt[:, 0] >= 0) & (nxt[:, 0] < W)
+               & (nxt[:, 1] >= 0) & (nxt[:, 1] < H))
+        ok &= inb
+        if ok.sum() >= 8:
+            _, f_mask = cv2.findFundamentalMat(
+                self.track_uv[ok], nxt[ok], cv2.FM_RANSAC, 3.0, 0.99)
+            if f_mask is not None:
+                keep = np.nonzero(ok)[0][f_mask.reshape(-1) > 0]
+                mask2 = np.zeros_like(ok)
+                mask2[keep] = True
+                ok = mask2
+        dt = max(t - (self.last_time or t), 1e-6)
+        vel = (nxt - self.track_uv) / dt
+        cmap.image_velocity[self.track_idx[ok]] = vel[ok]
+        self.track_uv = nxt[ok]
+        self.track_idx = self.track_idx[ok]
+        self.prev_gray = gray
+        self.last_time = t
+        return len(self.track_uv) >= 8
+
+    def ransac_pnp(self, cmap: ColorPointMap, K: np.ndarray) -> bool:
+        """removeOutlierUsingRansacPnp (opticalFlowTracker.cpp:257-316)."""
+        import cv2
+
+        if len(self.track_uv) < MIN_ITER_POINTS:
+            return False
+        obj = cmap.position[self.track_idx].astype(np.float64)
+        img = self.track_uv.astype(np.float64)
+        ok, rvec, tvec, inliers = cv2.solvePnPRansac(
+            obj, img, K.astype(np.float64), None,
+            reprojectionError=8.0, iterationsCount=100)
+        if not ok or inliers is None or len(inliers) < MIN_ITER_POINTS:
+            return False
+        keep = inliers.reshape(-1)
+        self.track_uv = self.track_uv[keep]
+        self.track_idx = self.track_idx[keep]
+        return True
+
+
+def vio_esikf_td(state: VioState, cmap: ColorPointMap,
+                 track_idx: np.ndarray, track_uv: np.ndarray,
+                 R_cw: np.ndarray, t_cw: np.ndarray,
+                 number_new_voxels: int, num_iterations: int = 2) -> VioState:
+    """vioEsikf with the live-config flags (extrinsic/intrinsic estimation
+    off): only the time-offset column of H is populated, so the update
+    refines time_td against the tracked-pixel reprojection residuals."""
+    n = len(track_idx)
+    if n < MIN_ITER_POINTS:
+        return state
+    weight = max(0.001, min(5.0 / max(number_new_voxels, 1), 0.01))
+    td_pred = state.time_td
+    last_acc = 3e8
+    H = np.zeros((2 * n, 11))
+    for _ in range(num_iterations):
+        pts = cmap.position[track_idx]
+        vel = cmap.image_velocity[track_idx]
+        p_cam = pts @ R_cw.T + t_cw
+        z = np.where(p_cam[:, 2] > 1e-6, p_cam[:, 2], 1e-6)
+        proj = np.stack([
+            state.fx * p_cam[:, 0] / z + state.cx,
+            state.fy * p_cam[:, 1] / z + state.cy,
+        ], axis=1) + state.time_td * vel
+        resid = proj - track_uv
+        rn = np.linalg.norm(resid, axis=1)
+        hub = np.asarray([huber_scale(r) for r in rn])
+        r_vec = (resid * hub[:, None]).reshape(-1)
+        H[:, :] = 0.0
+        H[:, 0] = (vel * hub[:, None]).reshape(-1)
+        d_x = np.zeros(11)
+        d_x[0] = state.time_td - td_pred
+        Kmat = np.linalg.solve(
+            H.T @ H + np.linalg.inv(state.covariance * weight), H.T)
+        sol = -Kmat @ r_vec - (np.eye(11) - Kmat @ H) @ d_x
+        state.time_td += sol[0]
+        acc = rn.mean()
+        if abs(acc - last_acc) < 0.01:
+            break
+        last_acc = acc
+    KH = Kmat @ H
+    state.covariance = (np.eye(11) - KH) @ state.covariance
+    return state

@@ -1,0 +1,110 @@
+"""Sensor sync + full front-end driver tests."""
+
+import numpy as np
+import pytest
+
+from gslivm_tpu.config import CommonOptions, Config, IcpOptions, OdometryOptions
+from gslivm_tpu.frontend import so3, synthetic
+from gslivm_tpu.frontend.livo import LivoFrontend
+from gslivm_tpu.frontend.sensors import (
+    ImageSample, ImuSample, LidarSweep, MeasurementSync, filter_sweep)
+
+
+def _sweep(t0, xyz, rel=None):
+    n = len(xyz)
+    rel = np.linspace(0, 0.09, n) if rel is None else rel
+    return LidarSweep(t0, np.asarray(xyz, float), rel, np.zeros(n))
+
+
+def test_filter_sweep_rules(rng):
+    xyz = np.array([[0.05, 0, 0],      # inside blind -> cut
+                    [1.0, 0, 0],
+                    [200.0, 0, 0],     # beyond det_range -> cut
+                    [2.0, 0, 0],
+                    [3.0, 0, 0],
+                    [4.0, 0, 0]])
+    rel = np.array([0.0, 0.05, 0.01, 0.2, 0.03, 0.01])
+    out = filter_sweep(_sweep(0.0, xyz, rel),
+                       CommonOptions(point_filter_num=1), max_rel_time=0.1)
+    # blind + det_range + >0.1s rel-time removed; sorted by time
+    assert out.xyz.shape[0] == 3
+    assert np.all(np.diff(out.rel_time) >= 0)
+
+
+def test_measurement_sync_packets(rng):
+    sync = MeasurementSync(sweep_interval=0.1)
+    # imu at 100 Hz, images at 10 Hz, points continuous
+    for i in range(120):
+        sync.push_imu(ImuSample(i * 0.01, np.zeros(3), np.array([0, 0, 9.81])))
+    for k in range(3):
+        pts = rng.normal(0, 1, (50, 3)) + [0, 0, 5]
+        sync.push_sweep(_sweep(0.05 + 0.1 * k, pts, np.linspace(0, 0.09, 50)))
+    sync.push_image(ImageSample(0.1, np.zeros((4, 4, 3), np.uint8)))
+    sync.push_image(ImageSample(0.2, np.zeros((4, 4, 3), np.uint8)))
+
+    all_meas = []
+    for _ in range(6):
+        all_meas += sync.get()
+    assert len(all_meas) >= 2
+    m = all_meas[0]
+    assert m.rendering and m.image is not None
+    assert m.points.shape[0] > 0
+    assert len(m.imu) > 2
+    # points in a packet end before the image time
+    # (rel times measured from their sweep's begin)
+    assert m.time_image == pytest.approx(0.1)
+    m2 = all_meas[1]
+    assert m2.time_image == pytest.approx(0.2)
+    assert m2.time_sweep_begin == pytest.approx(0.1)
+
+
+def test_livo_frontend_end_to_end(rng):
+    """Static-then-moving sensor over the synthetic room: the front-end must
+    produce posed frames whose trajectory is consistent."""
+    planes = synthetic.default_scene()
+    cfg = Config(
+        odometry=OdometryOptions(init_num_frames=2, voxel_size=0.05,
+                                 sample_voxel_size=0.6, init_voxel_size=0.05,
+                                 init_sample_voxel_size=0.6),
+        icp=IcpOptions(min_number_neighbors=8, max_num_residuals=300,
+                       size_voxel_map=0.5, num_iters_icp=6),
+    )
+    fe = LivoFrontend(config=cfg, fx=100.0, fy=100.0, cx=63.5, cy=47.5,
+                      width=128, height=96, sweep_interval=0.1)
+
+    g = np.array([0, 0, 9.81])
+    cams = synthetic.make_trajectory(6, 128, 96)
+
+    # 0.4 s static IMU to initialize the ESKF
+    t = 0.0
+    for i in range(80):
+        fe.push_imu(t, np.zeros(3), g + rng.normal(0, 1e-3, 3))
+        t += 0.005
+
+    # per "sweep": sample points from the first camera pose (held static —
+    # IMU consistency over a moving trajectory is covered in the odometry
+    # test; here we exercise the full plumbing incl. images)
+    cam = cams[0]
+    R_wc = np.asarray(cam.R_cw).T
+    center = np.asarray(cam.cam_center)
+    for k in range(4):
+        pts_w = synthetic.sample_surface_points(cam, planes, 3000, rng)
+        pts_sensor = (pts_w - center) @ R_wc  # world -> sensor (imu==camera)
+        fe.push_lidar(_sweep(t, pts_sensor, np.linspace(0, 0.09, len(pts_sensor))))
+        img = synthetic.render_image(cam, planes)
+        for j in range(20):
+            fe.push_imu(t + j * 0.005, np.zeros(3), g + rng.normal(0, 1e-3, 3))
+        fe.push_image(t + 0.095, img)
+        t += 0.1
+
+    frames = fe.pop_frames()
+    assert len(frames) >= 2, len(frames)
+    q, p = fe.pose
+    assert np.linalg.norm(p) < 0.05  # static sensor stays put
+    # colored map accumulated and got colors rendered
+    assert len(fe.color_map) > 500
+    assert (fe.color_map.n_rgb > 0).sum() > 100
+    # emitted frames carry valid cameras + points
+    f = frames[-1]
+    assert f.points_world.shape[1] == 3
+    assert f.image.shape == (96, 128, 3)
