@@ -75,6 +75,19 @@ def build_plane_residuals(
     threshold_capacity: int,
 ) -> PlaneResiduals:
     R = so3.quat_to_rot(so3.quat_normalize(q_wxyz))
+
+    if hasattr(vmap, "build_plane_residuals"):
+        # native C++ fast path: the whole kNN+PCA+residual loop in one call
+        H, h = vmap.build_plane_residuals(
+            keypoints_loc, R, t, last_t, nb_voxels, threshold_capacity,
+            icp.max_number_neighbors, icp.min_number_neighbors,
+            icp.power_planarity, icp.max_dist_to_plane_icp,
+            icp.weight_alpha, icp.weight_neighborhood, icp.max_num_residuals)
+        num = len(h)
+        if num < icp.min_number_neighbors:
+            return PlaneResiduals(np.zeros((0, 6)), np.zeros(0), num, False)
+        return PlaneResiduals(H, h, num, True)
+
     world = keypoints_loc @ R.T + t
 
     lam_w = abs(icp.weight_alpha)
@@ -237,13 +250,27 @@ class Odometry:
 
     def __init__(self, odom: OdometryOptions = OdometryOptions(),
                  icp: IcpOptions = IcpOptions(),
-                 R_imu_lidar=np.eye(3), t_imu_lidar=np.zeros(3)):
+                 R_imu_lidar=np.eye(3), t_imu_lidar=np.zeros(3),
+                 use_native: bool | None = None):
         self.odom = odom
         self.icp = icp
         self.eskf = Eskf()
-        self.vmap = VoxelMap(icp.size_voxel_map,
-                             odom.max_num_points_in_voxel,
-                             odom.min_distance_points)
+        if use_native is None or use_native:
+            from . import native
+            if native.available():
+                self.vmap = native.NativeVoxelMap(
+                    icp.size_voxel_map, odom.max_num_points_in_voxel,
+                    odom.min_distance_points)
+            elif use_native:
+                raise RuntimeError("native voxel map requested but unavailable")
+            else:
+                self.vmap = VoxelMap(icp.size_voxel_map,
+                                     odom.max_num_points_in_voxel,
+                                     odom.min_distance_points)
+        else:
+            self.vmap = VoxelMap(icp.size_voxel_map,
+                                 odom.max_num_points_in_voxel,
+                                 odom.min_distance_points)
         self.R_il = np.asarray(R_imu_lidar, np.float64)
         self.t_il = np.asarray(t_imu_lidar, np.float64)
         self.frame_id = 0
