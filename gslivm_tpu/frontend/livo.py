@@ -86,7 +86,8 @@ class LivoFrontend:
             q1, p1 = self.odometry.eskf.q.copy(), self.odometry.eskf.p.copy()
             pts = motion_compensate_constant(
                 m.points, m.rel_time, self._last_q, self._last_p, q1, p1,
-                self.odometry.R_il, self.odometry.t_il)
+                self.odometry.R_il, self.odometry.t_il,
+                duration_s=m.time_sweep_delta)
             self._last_q, self._last_p = q1, p1
 
             res = self.odometry.add_sweep(m.time_image, pts)

@@ -331,15 +331,53 @@ class Odometry:
                            success)
 
 
+def motion_compensate_imu(
+    points_lidar: np.ndarray,
+    rel_time_s: np.ndarray,
+    imu_states: list,  # [(t, q_wxyz, trans, vel, un_acc, un_gyr), ...]
+    t_frame_begin: float,
+    q_end, t_end, R_il, t_il,
+) -> np.ndarray:
+    """distortFrameByImu (utility.cpp:246-322): piecewise-IMU-state
+    deskewing — each point is placed with the pose integrated from its
+    bracketing IMU interval (quat_imu * exp(un_gyr dt), trans + v dt +
+    0.5 a dt^2), then re-expressed in the end-of-sweep LiDAR frame."""
+    R_il = np.asarray(R_il, np.float64)
+    R_end = so3.quat_to_rot(q_end)
+    out = np.empty_like(points_lidar, dtype=np.float64)
+    times = t_frame_begin + np.asarray(rel_time_s, np.float64)
+    order = np.argsort(times, kind="stable")
+    seg = 0
+    for oi in order:
+        tp = times[oi]
+        while (seg + 2 < len(imu_states)
+               and tp >= imu_states[seg + 1][0] - 1e-6):
+            seg += 1
+        t0, q0, tr0, v0, _, _ = imu_states[seg]
+        _, _, _, _, un_acc, un_gyr = imu_states[seg + 1]
+        dt = max(tp - t0, 0.0)
+        qp = so3.quat_mul(np.asarray(q0, np.float64),
+                          so3.so3_to_quat(np.asarray(un_gyr) * dt))
+        trp = (np.asarray(tr0) + np.asarray(v0) * dt
+               + 0.5 * np.asarray(un_acc) * dt * dt)
+        world = so3.quat_to_rot(qp) @ (R_il @ points_lidar[oi] + t_il) + trp
+        imu_end = R_end.T @ (world - t_end)
+        out[oi] = R_il.T @ (imu_end - t_il)
+    return out
+
+
 def motion_compensate_constant(
     points_lidar: np.ndarray,
     rel_time_s: np.ndarray,
     q_begin, t_begin, q_end, t_end,
     R_il, t_il,
+    duration_s: float | None = None,
 ) -> np.ndarray:
     """distortFrameByConstant (utility.cpp:204-244): per-point slerp pose,
-    transform to world, then re-express in the END-of-sweep LiDAR frame."""
-    duration = max(rel_time_s.max(), 1e-9)
+    transform to world, then re-express in the END-of-sweep LiDAR frame.
+    duration_s is the begin->end pose interval (the reference uses the IMU
+    window, utility.cpp:212); defaults to the max point time."""
+    duration = duration_s if duration_s else max(rel_time_s.max(), 1e-9)
     alphas = np.clip(rel_time_s / duration, 0.0, 1.0)
     R_il = np.asarray(R_il, np.float64)
     out = np.empty_like(points_lidar, dtype=np.float64)

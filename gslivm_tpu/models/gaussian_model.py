@@ -178,6 +178,45 @@ def append_points(
     )
 
 
+def prune(params: GaussianParams, keep_mask) -> GaussianParams:
+    """Compact the model to the gaussians where keep_mask is True.
+
+    The reference DEFINES prune_optimizer but never calls it (gaussian.cu:
+    430, SURVEY §2.3) — pruning here is a real capability: low-opacity or
+    out-of-frustum gaussians can be dropped and the capacity reused. The
+    optimizer state must be re-initialized (or compacted with the same
+    permutation) by the caller. Stable order is preserved.
+    """
+    import jax.numpy as _jnp
+
+    keep_mask = _jnp.asarray(keep_mask) & params.active_mask()
+    order = _jnp.argsort(~keep_mask, stable=True)
+    count = _jnp.sum(keep_mask).astype(_jnp.int32)
+
+    def take(buf):
+        out = buf[order]
+        live = _jnp.arange(buf.shape[0]) < count
+        return _jnp.where(live.reshape((-1,) + (1,) * (buf.ndim - 1)), out, 0)
+
+    return params.replace(
+        xyz=take(params.xyz),
+        features_dc=take(params.features_dc),
+        features_rest=take(params.features_rest),
+        scaling=take(params.scaling),
+        rotation=take(params.rotation),
+        opacity=take(params.opacity),
+        n_active=count,
+    )
+
+
+def prune_low_opacity(params: GaussianParams, min_opacity: float = 0.005) -> GaussianParams:
+    """Drop gaussians whose activated opacity fell below min_opacity."""
+    import jax
+
+    keep = params.get_opacity()[:, 0] >= min_opacity
+    return prune(params, jax.lax.stop_gradient(keep))
+
+
 def grow_capacity(params: GaussianParams, new_capacity: int) -> GaussianParams:
     """Host-side capacity doubling: pad every buffer; active data unchanged.
 

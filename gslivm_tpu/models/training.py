@@ -43,6 +43,51 @@ from .gaussian_model import GaussianParams
 MAX_SIMI = 500  # gp_types.h:15
 
 
+def expon_lr(step, lr_init: float, lr_final: float, lr_delay_mult: float = 1.0,
+             max_steps: int = 1_000_000, lr_delay_steps: float = 0.0):
+    """Expon_lr_func (general_utils.cuh:49-83): log-lerped decay with an
+    optional sine-delayed warmup. NOTE the reference defines this but never
+    constructs it in the live path (SURVEY §2.3) — provided as an optional
+    optax-compatible schedule for longer offline optimizations."""
+    import numpy as _np
+
+    if lr_init == 0.0 and lr_final == 0.0:
+        return 0.0
+    if lr_delay_steps > 0 and step != 0:
+        delay = lr_delay_mult + (1 - lr_delay_mult) * _np.sin(
+            0.5 * _np.pi * _np.clip(step / lr_delay_steps, 0.0, 1.0))
+    else:
+        delay = 1.0
+    t = _np.clip(step / max_steps, 0.0, 1.0)
+    return float(delay * _np.exp(_np.log(lr_init) * (1 - t)
+                                 + _np.log(lr_final) * t))
+
+
+class LossMonitor:
+    """Rolling rate-of-change convergence detector (loss_monitor.cu:6-25;
+    instantiated nowhere in the reference's live pipeline)."""
+
+    def __init__(self, buffer_size: int = 120):
+        self._size = buffer_size
+        self._loss: list[float] = []
+        self._roc: list[float] = []
+
+    def update(self, new_loss: float) -> float:
+        if len(self._loss) >= self._size:
+            self._loss.pop(0)
+            self._roc.pop(0)
+        was_empty = not self._loss
+        roc = 0.0 if was_empty else abs(new_loss - self._loss[-1])
+        self._roc.append(roc)
+        self._loss.append(new_loss)
+        return 0.0 if was_empty else sum(self._roc) / len(self._roc)
+
+    def is_converging(self, threshold: float) -> bool:
+        if len(self._roc) < self._size:
+            return False
+        return sum(self._roc) / len(self._roc) <= threshold
+
+
 # ---------------------------------------------------------------------------
 # Optimizer (Training_setup parity)
 # ---------------------------------------------------------------------------

@@ -142,3 +142,11 @@ def rasterize(
                             shs, bg_color, active_mask)
     return _render_drop_depth_grad(settings, camera, means, scales, quats,
                                    opacities, shs, bg_color, active_mask)
+
+
+def mark_visible(means, camera):
+    """Frustum visibility test (GaussianRasterizer::markVisible,
+    rasterizer.cu:226-241 -> in_frustum, auxiliary.h:120-144): True for
+    gaussians with view-space z > 0.2."""
+    p_view = means @ camera.R_cw.T + camera.t_cw
+    return p_view[..., 2] > 0.2

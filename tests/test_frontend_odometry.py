@@ -186,3 +186,29 @@ def test_odometry_tracks_accelerating_trajectory(rng):
     # velocity estimate approaches a_w * t
     v_expected = a_w * (7 * sweep_dt)
     assert np.linalg.norm(od.eskf.v - v_expected) < 0.1
+
+
+def test_motion_compensate_imu_matches_constant_for_const_velocity(rng):
+    """With constant velocity and zero rotation, piecewise-IMU deskewing
+    must agree with the constant-velocity slerp path."""
+    from gslivm_tpu.frontend.odometry import (
+        motion_compensate_constant, motion_compensate_imu)
+
+    pts = rng.uniform(-1, 1, (50, 3))
+    rel = np.sort(rng.uniform(0, 0.1, 50))
+    v = np.array([1.0, 0.5, 0.0])
+    q_id = np.array([1.0, 0, 0, 0])
+    t0 = np.zeros(3)
+    t1 = v * 0.1
+
+    out_const = motion_compensate_constant(pts, rel, q_id, t0, q_id, t1,
+                                           np.eye(3), np.zeros(3),
+                                           duration_s=0.1)
+    # IMU states every 0.02 s with exact velocity, no rotation/accel
+    states = []
+    for k in range(7):
+        tk = k * 0.02
+        states.append((tk, q_id, v * tk, v, np.zeros(3), np.zeros(3)))
+    out_imu = motion_compensate_imu(pts, rel, states, 0.0, q_id, t1,
+                                    np.eye(3), np.zeros(3))
+    np.testing.assert_allclose(out_imu, out_const, atol=1e-9)

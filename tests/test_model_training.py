@@ -172,3 +172,43 @@ def test_opt_state_growth(rng):
         opt_params=opt_params, settings=RasterizeSettings(backend="naive"),
     )
     assert params3.capacity == 32
+
+
+def test_prune_low_opacity(rng):
+    p = gm.create_from_points(_batch(rng, 20), 3.0, capacity=32)
+    # push half the opacities far down
+    p = p.replace(opacity=p.opacity.at[:10].set(-8.0))
+    q = gm.prune_low_opacity(p, min_opacity=0.01)
+    assert int(q.n_active) == 10
+    # survivors are the original rows 10..19 in order
+    np.testing.assert_array_equal(np.asarray(q.xyz[:10]), np.asarray(p.xyz[10:20]))
+    # render path still works post-prune
+    cam = make_camera(np.eye(3), np.zeros(3), 32, 32, fovx=1.0, fovy=1.0)
+    out = training.render_params(q, cam, jnp.ones(3),
+                                 RasterizeSettings(backend="naive"))
+    assert np.all(np.isfinite(np.asarray(out.color)))
+
+
+def test_expon_lr_and_loss_monitor():
+    lr0 = training.expon_lr(0, 1e-2, 1e-4, max_steps=100)
+    lr_mid = training.expon_lr(50, 1e-2, 1e-4, max_steps=100)
+    lr_end = training.expon_lr(100, 1e-2, 1e-4, max_steps=100)
+    assert abs(lr0 - 1e-2) < 1e-9 and abs(lr_end - 1e-4) < 1e-9
+    assert abs(lr_mid - 1e-3) < 1e-9  # log-lerp midpoint
+
+    mon = training.LossMonitor(buffer_size=3)
+    assert mon.update(10.0) == 0.0
+    assert mon.update(9.0) == 0.5  # mean of [0, 1]
+    mon.update(9.0)
+    assert not mon.is_converging(0.1)
+    mon.update(9.0)
+    mon.update(9.0)
+    assert mon.is_converging(0.1)
+
+
+def test_mark_visible(rng):
+    from gslivm_tpu.ops.rasterize import mark_visible
+    cam = make_camera(np.eye(3), np.zeros(3), 32, 32, fovx=1.0, fovy=1.0)
+    means = jnp.asarray([[0, 0, 5.0], [0, 0, 0.1], [0, 0, -2.0]])
+    vis = np.asarray(mark_visible(means, cam))
+    assert vis.tolist() == [True, False, False]

@@ -114,3 +114,17 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     # resumed mapper can continue training + ingesting
     m = mapper2.train_iteration()
     assert m is not None and np.isfinite(float(m.loss))
+
+
+def test_yaml_config_layering():
+    from gslivm_tpu.config import load_config, load_yaml
+    common = load_yaml("configs/basic_common.yaml")
+    dataset = load_yaml("configs/synthetic_room.yaml")
+    cfg = load_config(dataset_overrides=dataset, common_overrides=common)
+    # common defaults preserved
+    assert cfg.gs.scale_factor == 3.0
+    assert cfg.icp.max_dist_to_plane_icp == 0.5
+    # dataset layer wins
+    assert cfg.gp.grid == 0.5
+    assert cfg.odometry.init_num_frames == 2
+    assert cfg.icp.num_iters_icp == 6
