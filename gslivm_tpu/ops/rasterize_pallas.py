@@ -159,18 +159,20 @@ def _chunk_terms(featT, px, py, T_in, done_in):
     one_minus_eff = jnp.where(accepted, 1.0 - alpha, 1.0)
 
     T_prev = T_in * _cumprod_rows(one_minus_eff, exclusive=True)
-    would_stop = accepted & (T_prev * (1.0 - alpha) < 1e-4)
-    ws = would_stop.astype(jnp.float32)
-    stopped_before = _cumsum_rows(ws, exclusive=True) > 0.0
-    contrib = accepted & jnp.logical_not(done_in | stopped_before) & jnp.logical_not(would_stop)
+    T_next = T_prev * (1.0 - alpha)
+    would_stop = accepted & (T_next < 1e-4)
+    # The early-stop latch needs NO cumulative scan: T_prev is non-increasing
+    # over accepted splats, so once T_prev*(1-alpha) < 1e-4 fires, every
+    # later accepted splat has T_prev below that same bound and fails the
+    # test too — would_stop self-latches. contrib = accepted, not yet done,
+    # and above the threshold; exactly the oracle's cumsum-latched mask.
+    contrib = accepted & jnp.logical_not(done_in) & (T_next >= 1e-4)
     w = jnp.where(contrib, alpha * T_prev, 0.0)
 
-    # total product over contributing splats (Mosaic has no reduce_prod:
-    # take the last row of an inclusive multiplicative scan)
-    T_out = T_in * _cumprod_rows(
-        jnp.where(contrib, 1.0 - alpha, 1.0), exclusive=False
-    )[-1:, :]
-    done_out = done_in | (jnp.sum(ws, axis=0, keepdims=True) > 0.0)
+    # T after the last contribution == min over contributions of T_next
+    # (T is non-increasing); saves a third full scan.
+    T_out = jnp.min(jnp.where(contrib, T_next, T_in), axis=0, keepdims=True)
+    done_out = done_in | jnp.any(would_stop, axis=0, keepdims=True)
     return dict(
         dx=dx, dy=dy, G=G, raw_alpha=raw_alpha, alpha=alpha,
         contrib=contrib, w=w, T_prev=T_prev, T_out=T_out, done_out=done_out,
@@ -312,10 +314,10 @@ def _bwd_kernel(cfg: PallasConfig, off_ref, nch_ref, inst_ref, g_ref,
         get_dma(jax.lax.rem(nchunks - 1, 2), nchunks - 1).start()
 
     zeros = jnp.zeros((1, NPIX), jnp.float32)
-    carry0 = (zeros, zeros, zeros, zeros, zeros)  # W carries: r,g,b,depth,acc
+    carry0 = (zeros,)  # fused suffix-sum carry W_psi
 
     def reverse(j, carry):
-        Wr, Wg, Wb, Wd, Wa = carry
+        (Wpsi,) = carry
         i = nchunks - 1 - j
         slot = jax.lax.rem(i, 2)
 
@@ -335,24 +337,16 @@ def _bwd_kernel(cfg: PallasConfig, off_ref, nch_ref, inst_ref, g_ref,
         b = featT[:, _FB2][:, None]
         dep = featT[:, _FD][:, None]
 
-        swr, swg, swb, swd = w * r, w * gch, w * b, w * dep
-        Sr = _suffix_excl(swr) + Wr
-        Sg = _suffix_excl(swg) + Wg
-        Sb = _suffix_excl(swb) + Wb
-        Sd = _suffix_excl(swd) + Wd
-        Sa = _suffix_excl(w) + Wa
+        # One fused suffix scan: the per-output cotangents enter dL/dalpha
+        # only through psi_j = sum_ch g_ch * c_j_ch (+ gD*d_j + gA), so the
+        # five per-channel suffix sums collapse to the suffix sum of w*psi.
+        psi = gC0 * r + gC1 * gch + gC2 * b + gD * dep + gA
+        S = _suffix_excl(w * psi) + Wpsi
 
         one_minus = 1.0 - m["alpha"]
         inv = 1.0 / jnp.maximum(one_minus, 1e-6)
         T_prev = m["T_prev"]
-        dLda = (
-            gC0 * (T_prev * r - Sr * inv)
-            + gC1 * (T_prev * gch - Sg * inv)
-            + gC2 * (T_prev * b - Sb * inv)
-            + gD * (T_prev * dep - Sd * inv)
-            + gA * (T_prev - Sa * inv)
-            - gT * T_fin * inv
-        )
+        dLda = T_prev * psi - (S + gT * T_fin) * inv
         dLda = jnp.where(m["contrib"], dLda, 0.0)
 
         # min(0.99, .) subgradient gate (deviation from CUDA, see module doc)
@@ -396,13 +390,7 @@ def _bwd_kernel(cfg: PallasConfig, off_ref, nch_ref, inst_ref, g_ref,
         gbuf_ref[slot] = gout.T  # back to feature-major (FEAT, CHUNK)
         put_dma(slot, i).start()
 
-        return (
-            Wr + jnp.sum(swr, axis=0, keepdims=True),
-            Wg + jnp.sum(swg, axis=0, keepdims=True),
-            Wb + jnp.sum(swb, axis=0, keepdims=True),
-            Wd + jnp.sum(swd, axis=0, keepdims=True),
-            Wa + jnp.sum(w, axis=0, keepdims=True),
-        )
+        return (Wpsi + jnp.sum(w * psi, axis=0, keepdims=True),)
 
     jax.lax.fori_loop(0, nchunks, reverse, carry0)
 
