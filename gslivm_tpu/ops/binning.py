@@ -50,6 +50,8 @@ def bin_instances(
     height: int,
     max_instances: int,
     max_chunks_per_tile: int = 64,
+    band_start=None,
+    band_rows: int | None = None,
 ) -> BinnedInstances:
     """Expand gaussians into depth-sorted, tile-aligned instance slots.
 
@@ -58,9 +60,22 @@ def bin_instances(
     instances first, so the cap drops the most-occluded tail). The padded
     output is `max_instances + num_tiles * (CHUNK - 1)` rounded up, a static
     shape.
+
+    band_start/band_rows restrict binning to tile ROWS [band_start,
+    band_start + band_rows) — the unit of pixel-axis sharding: each device
+    bins and renders only its band (tile ids come out band-relative).
+    band_rows must be static; band_start may be a traced scalar (e.g.
+    derived from jax.lax.axis_index inside shard_map).
     """
     grid_x, grid_y = tile_grid(width, height)
-    num_tiles = grid_x * grid_y
+    banded = band_rows is not None
+    if banded:
+        y0 = band_start
+        y1 = band_start + band_rows
+        num_tiles = grid_x * band_rows
+    else:
+        y0, y1 = 0, grid_y
+        num_tiles = grid_x * grid_y
     num_gauss = pre.depth.shape[0]
 
     depth = jax.lax.stop_gradient(pre.depth)
@@ -71,9 +86,22 @@ def bin_instances(
     dorder = jnp.argsort(
         jnp.where(pre.valid, depth, jnp.inf), stable=True
     ).astype(jnp.int32)
-    counts = pre.tiles_touched[dorder].astype(jnp.int32)
     rect_min = pre.rect_min[dorder]
     rect_max = pre.rect_max[dorder]
+    if banded:
+        # clip rects to the band (band-relative y) and recompute counts
+        rect_min = rect_min.at[:, 1].set(
+            jnp.clip(rect_min[:, 1], y0, y1) - y0)
+        rect_max = rect_max.at[:, 1].set(
+            jnp.clip(rect_max[:, 1], y0, y1) - y0)
+        counts = jnp.where(
+            pre.valid[dorder],
+            (rect_max[:, 0] - rect_min[:, 0])
+            * (rect_max[:, 1] - rect_min[:, 1]),
+            0,
+        ).astype(jnp.int32)
+    else:
+        counts = pre.tiles_touched[dorder].astype(jnp.int32)
 
     offsets = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)]

@@ -104,7 +104,11 @@ def compute_cov2d(mean_view, cov3d6, R_cw, focal_x, focal_y, tan_fovx, tan_fovy)
     Returns: [..., 3] packed 2D covariance (a, b, c) = (cov[0,0], cov[0,1],
     cov[1,1]) with the +0.3 low-pass already added (forward.cu:130-131).
     """
+    # Culled slots (z <= 0.2 or degenerate) can sit at tz ~ 0; clamp the
+    # value used for division so inf never enters the gradient graph (the
+    # clamp only activates on slots the caller excludes via the valid mask).
     tz = mean_view[..., 2]
+    tz = jnp.where(jnp.abs(tz) > 1e-6, tz, 1e-6)
     # Frustum clamp of the linearization point (forward.cu:93-98).
     limx = 1.3 * tan_fovx
     limy = 1.3 * tan_fovy
@@ -152,7 +156,9 @@ def conic_and_radius(cov2d):
     """
     a, b, c = cov2d[..., 0], cov2d[..., 1], cov2d[..., 2]
     det = a * c - b * b
-    det_inv = jnp.where(det != 0.0, 1.0 / det, 0.0)
+    # safe-where: divide by a nonzero stand-in so the zero branch does not
+    # produce inf whose vjp (0 * inf) poisons gradients of culled slots
+    det_inv = jnp.where(det != 0.0, 1.0 / jnp.where(det != 0.0, det, 1.0), 0.0)
     conic = jnp.stack([c * det_inv, -b * det_inv, a * det_inv], axis=-1)
     mid = 0.5 * (a + c)
     disc = jnp.sqrt(jnp.maximum(0.1, mid * mid - det))

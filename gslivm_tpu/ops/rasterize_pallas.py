@@ -124,9 +124,12 @@ def _suffix_excl(x):
 
 
 def _pixel_coords(t, grid_x):
-    """Per-tile pixel coordinates as (1, NPIX) f32 rows."""
+    """Per-tile pixel coordinates as (1, NPIX) f32 rows. Band-relative: when
+    rendering a tile band, the instance mean2d.y is shifted into band-local
+    coordinates by the wrapper (so a traced band start stays out of the
+    static kernel config)."""
     tile_y = t // grid_x
-    tile_x = t - tile_y * grid_x
+    tile_x = t % grid_x
     p = jax.lax.broadcasted_iota(jnp.int32, (1, NPIX), 1)
     col = p % TILE
     row = p // TILE
@@ -490,15 +493,16 @@ _render_tiles.defvjp(_render_tiles_fwd, _render_tiles_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _pack_features(pre: PreprocessedGaussians, gauss_id):
+def _pack_features(pre: PreprocessedGaussians, gauss_id, y_shift=0.0):
     """Gather per-gaussian screen features into the feature-major
     [FEAT, PAD] instance array (differentiable; padding slots get opacity
-    0). Feature-major keeps the kernel's DMA chunk slices lane-aligned."""
+    0). Feature-major keeps the kernel's DMA chunk slices lane-aligned.
+    y_shift moves mean2d.y into band-local pixel coordinates."""
     safe = jnp.maximum(gauss_id, 0)
     per_gauss = jnp.stack(
         [
             pre.mean2d[:, 0],
-            pre.mean2d[:, 1],
+            pre.mean2d[:, 1] - y_shift,
             pre.conic[:, 0],
             pre.conic[:, 1],
             pre.conic[:, 2],
@@ -532,17 +536,38 @@ def rasterize_pallas(
     max_instances: int = 2**20,
     max_chunks_per_tile: int = 64,
     interpret: bool | None = None,
+    tile_band: tuple[int, int] | None = None,
+    band_rows: int | None = None,
+    band_start=None,
 ) -> RenderOutput:
-    """Tile-binned Pallas rasterization, API-compatible with rasterize_naive."""
+    """Tile-binned Pallas rasterization, API-compatible with rasterize_naive.
+
+    Two banded-rendering modes (the pixel-axis sharding unit):
+      tile_band=(y0, y1): STATIC tile-row band; outputs keep the full image
+        shape with rows outside the band background-only (T=1).
+      band_rows=h, band_start=y0: h static, y0 may be a TRACED scalar (e.g.
+        jax.lax.axis_index inside shard_map); outputs are band-only
+        [.., h*16 (cropped), W].
+    """
     H, W = camera.height, camera.width
     if bg_color is None:
         bg_color = jnp.ones((3,), dtype=means.dtype)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     grid_x, grid_y = tile_grid(W, H)
+
+    dynamic_band = band_rows is not None
+    if dynamic_band:
+        y0 = jnp.asarray(band_start, jnp.int32)
+        n_rows = band_rows
+    else:
+        y0_i, y1_i = tile_band if tile_band is not None else (0, grid_y)
+        y0 = y0_i
+        n_rows = y1_i - y0_i
+
     cfg = PallasConfig(
         grid_x=grid_x,
-        grid_y=grid_y,
+        grid_y=n_rows,
         max_chunks_per_tile=max_chunks_per_tile,
         interpret=bool(interpret),
     )
@@ -552,23 +577,41 @@ def rasterize_pallas(
         sh_degree=sh_degree, scale_modifier=scale_modifier,
         active_mask=active_mask, colors_precomp=colors_precomp,
     )
-    binned = bin_instances(pre, W, H, max_instances, max_chunks_per_tile)
-    inst = _pack_features(pre, binned.gauss_id)
+    banded = dynamic_band or tile_band is not None
+    binned = bin_instances(
+        pre, W, H, max_instances, max_chunks_per_tile,
+        band_start=y0 if banded else None,
+        band_rows=n_rows if banded else None)
+    y_shift = (y0 * TILE).astype(jnp.float32) if dynamic_band else float(y0 * TILE)
+    inst = _pack_features(pre, binned.gauss_id,
+                          y_shift=y_shift if banded else 0.0)
 
     tiles = _render_tiles(cfg, inst, binned.tile_offset, binned.tile_nchunks)
 
-    # [T, 8, NPIX] -> [8, Hp, Wp] -> crop
-    img = (
-        tiles.reshape(grid_y, grid_x, 8, TILE, TILE)
+    # [T, 8, NPIX] -> [8, band_h, Wp]
+    band = (
+        tiles.reshape(n_rows, grid_x, 8, TILE, TILE)
         .transpose(2, 0, 3, 1, 4)
-        .reshape(8, grid_y * TILE, grid_x * TILE)[:, :H, :W]
+        .reshape(8, n_rows * TILE, grid_x * TILE)
     )
-    color = img[0:3] + img[5][None] * bg_color[:, None, None]
-    return RenderOutput(
-        color=color,
-        depth=img[3],
-        acc=img[4],
-        final_T=jax.lax.stop_gradient(img[5]),
-        n_contrib=jax.lax.stop_gradient(img[6]).astype(jnp.int32),
-        radii=jax.lax.stop_gradient(pre.radius),
-    )
+
+    def out_from(img, crop_h):
+        color = img[0:3] + img[5][None] * bg_color[:, None, None]
+        return RenderOutput(
+            color=color,
+            depth=img[3],
+            acc=img[4],
+            final_T=jax.lax.stop_gradient(img[5]),
+            n_contrib=jax.lax.stop_gradient(img[6]).astype(jnp.int32),
+            radii=jax.lax.stop_gradient(pre.radius),
+        )
+
+    if dynamic_band:
+        return out_from(band[:, :, :W], n_rows * TILE)
+    if tile_band is None:
+        return out_from(band[:, :H, :W], H)
+    # static band: embed into the full frame (T=1 outside the band)
+    img = jnp.zeros((8, grid_y * TILE, grid_x * TILE), band.dtype)
+    img = img.at[5].set(1.0)
+    img = jax.lax.dynamic_update_slice(img, band, (0, y0 * TILE, 0))
+    return out_from(img[:, :H, :W], H)

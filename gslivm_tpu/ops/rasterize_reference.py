@@ -93,7 +93,11 @@ def preprocess(
 
     size_ok = ~cov_ops.scale_abnormal(scales, scale_modifier)
 
-    w_inv = 1.0 / (z + 1e-7)
+    # z + 1e-7 can be ~0 for culled slots; substitute a safe depth there so
+    # the projection stays finite (culled slots never contribute, but inf
+    # values would poison gradients through downstream where-masks)
+    z_div = jnp.where(near_ok, z, 1.0)
+    w_inv = 1.0 / (z_div + 1e-7)
     ndc_x = (p_view[..., 0] / camera.tan_fovx) * w_inv
     ndc_y = (p_view[..., 1] / camera.tan_fovy) * w_inv
     pix_x = ((ndc_x + 1.0) * camera.width - 1.0) * 0.5
@@ -101,8 +105,9 @@ def preprocess(
     mean2d = jnp.stack([pix_x, pix_y], axis=-1)
 
     cov3d = cov_ops.compute_cov3d(scales, quats, scale_modifier)
+    p_view_safe = p_view.at[..., 2].set(z_div)
     cov2d = cov_ops.compute_cov2d(
-        p_view, cov3d, camera.R_cw, camera.fx, camera.fy, camera.tan_fovx, camera.tan_fovy
+        p_view_safe, cov3d, camera.R_cw, camera.fx, camera.fy, camera.tan_fovx, camera.tan_fovy
     )
     conic, radius, det = cov_ops.conic_and_radius(cov2d)
     det_ok = det != 0.0

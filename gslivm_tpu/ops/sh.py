@@ -106,6 +106,8 @@ def sh_to_color(sh, means, campos, degree: int):
     Returns: [..., 3] color in [0, inf), clamped at 0 from below.
     """
     dirs = means - campos
-    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    # clip the norm: padded/degenerate slots can sit exactly at the camera
+    # center, and 0/0 here poisons gradients through where-masks downstream
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True).clip(1e-12)
     raw = eval_sh(sh, dirs, degree) + 0.5
     return jnp.maximum(raw, 0.0)

@@ -111,10 +111,41 @@ def _gather_params(params: GaussianParams) -> GaussianParams:
     return out.replace(n_active=params.n_active)
 
 
+def _render_band_pallas(params: GaussianParams, camera: Camera, bg_color,
+                        band_rows: int, max_instances: int):
+    """Per-device Pallas band render inside shard_map: this device's tile-row
+    band of the frame, reassembled across "pixel" by the caller."""
+    from ..ops.rasterize_pallas import rasterize_pallas
+
+    my_pixel = jax.lax.axis_index("pixel")
+    out = rasterize_pallas(
+        params.xyz,
+        params.get_scaling(),
+        params.get_rotation(),
+        params.get_opacity()[:, 0],
+        params.get_features(),
+        camera,
+        bg_color=bg_color,
+        sh_degree=params.sh_degree,
+        active_mask=params.active_mask(),
+        max_instances=max_instances,
+        band_rows=band_rows,
+        band_start=my_pixel * band_rows,
+    )
+    return out.color  # [3, band_rows*16, W]
+
+
 def sharded_loss_fn(params_shard: GaussianParams, cameras: Sequence[Camera],
                     gt_images, simi: training.SimiInputs, bg_color,
-                    opt_params: GsOptimParams):
-    """Per-device loss inside shard_map; differentiable through collectives."""
+                    opt_params: GsOptimParams, renderer: str = "oracle",
+                    max_instances: int = 2**18):
+    """Per-device loss inside shard_map; differentiable through collectives.
+
+    renderer="oracle": pixel-chunk compositing with the naive math.
+    renderer="pallas": per-device Pallas TILE-BAND rendering — the
+    production path (each chip runs the full binning+kernel pipeline on its
+    band of tile rows).
+    """
     params = _gather_params(params_shard)
 
     n_pixel = jax.lax.axis_size("pixel")
@@ -123,13 +154,24 @@ def sharded_loss_fn(params_shard: GaussianParams, cameras: Sequence[Camera],
     total = jnp.zeros(())
     for i, cam in enumerate(cameras):
         H, W = cam.height, cam.width
-        n_pix = H * W
-        chunk = -(-n_pix // n_pixel)  # cdiv; W*H assumed divisible in practice
-        lo = my_pixel * chunk
-        color_c, _, _ = _render_pixels_chunk(params, cam, bg_color, lo, chunk)
-        # reassemble the full image on every device
-        full = jax.lax.all_gather(color_c, "pixel", axis=0, tiled=True)[:n_pix]
-        img = full.reshape(H, W, 3).transpose(2, 0, 1)
+        if renderer == "pallas":
+            from ..ops.rasterize_reference import tile_grid
+
+            _, grid_y = tile_grid(W, H)
+            band_rows = -(-grid_y // n_pixel)
+            band = _render_band_pallas(params, cam, bg_color, band_rows,
+                                       max_instances)
+            full = jax.lax.all_gather(band, "pixel", axis=1, tiled=True)
+            img = full[:, :H, :]
+        else:
+            n_pix = H * W
+            chunk = -(-n_pix // n_pixel)
+            lo = my_pixel * chunk
+            color_c, _, _ = _render_pixels_chunk(params, cam, bg_color, lo,
+                                                 chunk)
+            full = jax.lax.all_gather(color_c, "pixel", axis=0,
+                                      tiled=True)[:n_pix]
+            img = full.reshape(H, W, 3).transpose(2, 0, 1)
         l1 = loss_ops.l1_loss(img, gt_images[i])
         ss = loss_ops.ssim(img, gt_images[i])
         total = total + (1.0 - opt_params.lambda_dssim) * l1 + \
@@ -142,7 +184,8 @@ def sharded_loss_fn(params_shard: GaussianParams, cameras: Sequence[Camera],
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mesh", "opt_params")
+    jax.jit, static_argnames=("mesh", "opt_params", "renderer",
+                              "max_instances")
 )
 def sharded_train_step(
     mesh: Mesh,
@@ -153,6 +196,8 @@ def sharded_train_step(
     simi: training.SimiInputs,
     opt_params: GsOptimParams = GsOptimParams(),
     bg_color=None,
+    renderer: str = "oracle",
+    max_instances: int = 2**18,
 ):
     """One training step with gauss-sharded params + pixel-sharded render.
 
@@ -175,13 +220,30 @@ def sharded_train_step(
     def loss_for_grad(floats, n_active):
         p_shard = GaussianParams(n_active=n_active, **floats)
         return sharded_loss_fn(p_shard, cameras, gt_images, simi, bg_color,
-                               opt_params)
+                               opt_params, renderer=renderer,
+                               max_instances=max_instances)
+
+    check_vma = renderer != "pallas"
+
+    def vg_local(floats, n_active):
+        loss, g = jax.value_and_grad(loss_for_grad, argnums=0)(floats, n_active)
+        if not check_vma:
+            # with check_vma off, the transpose does not auto-insert the
+            # reduction over axes the inputs are replicated on: the float
+            # shards are replicated across "pixel", so their grads must be
+            # summed across it explicitly
+            g = jax.tree.map(lambda x: jax.lax.psum(x, "pixel"), g)
+        return loss, g
 
     vg_fn = jax.shard_map(
-        jax.value_and_grad(loss_for_grad, argnums=0),
+        vg_local,
         mesh=mesh,
         in_specs=(float_specs, P()),
         out_specs=(P(), float_specs),
+        # pallas_call outputs don't carry varying-across-mesh annotations
+        # yet, so the vma check must be off for the pallas renderer;
+        # replication of the loss is guaranteed by the pmean in the loss
+        check_vma=check_vma,
     )
     loss, gfloats = vg_fn(floats, params.n_active)
     grads = GaussianParams(n_active=jnp.zeros((), jnp.float32), **gfloats)

@@ -148,3 +148,28 @@ def test_instance_overflow_counted():
     out = rasterize_pallas(means, scales, quats, opac, shs, cam,
                            max_instances=8, interpret=True)
     assert np.all(np.isfinite(np.asarray(out.color)))
+
+
+def test_tile_bands_compose_to_full_image():
+    """Banded rendering (the pixel-sharding unit) must reproduce the full
+    frame when bands are stitched."""
+    rng = np.random.default_rng(5)
+    cam = _cam(64, 64)  # grid_y = 4 tile rows
+    means, scales, quats, opac, shs = _scene(120, rng)
+    bg = jnp.asarray([0.1, 0.2, 0.3])
+
+    full = rasterize_pallas(means, scales, quats, opac, shs, cam,
+                            bg_color=bg, max_instances=1 << 14,
+                            interpret=True)
+
+    from gslivm_tpu.ops.rasterize_reference import tile_grid
+    gx, gy = tile_grid(cam.width, cam.height)
+    stitched = np.zeros((3, cam.height, cam.width), np.float32)
+    for y0 in range(0, gy, 2):
+        band = rasterize_pallas(means, scales, quats, opac, shs, cam,
+                                bg_color=bg, max_instances=1 << 14,
+                                interpret=True, tile_band=(y0, y0 + 2))
+        rows = slice(y0 * 16, min((y0 + 2) * 16, cam.height))
+        stitched[:, rows] = np.asarray(band.color)[:, rows]
+    np.testing.assert_allclose(stitched, np.asarray(full.color),
+                               atol=1e-6, rtol=1e-5)
