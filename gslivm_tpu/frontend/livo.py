@@ -36,9 +36,28 @@ class LivoFrontend:
         R_imu_lidar=np.eye(3), t_imu_lidar=np.zeros(3),
         R_imu_camera=np.eye(3), t_imu_camera=np.zeros(3),
         sweep_interval: float = 0.1,
+        distortion=None,
+        image_resize_ratio: float = 1.0,
     ):
         self.cfg = config
+        if image_resize_ratio != 1.0:
+            # imageProcessing::process resize path (imageProcessing.cpp:114-127)
+            fx *= image_resize_ratio
+            fy *= image_resize_ratio
+            cx *= image_resize_ratio
+            cy *= image_resize_ratio
+            width = int(width * image_resize_ratio)
+            height = int(height * image_resize_ratio)
+        self.image_resize_ratio = image_resize_ratio
         self.K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
+        self._undistort_maps = None
+        if distortion is not None and np.any(np.asarray(distortion) != 0):
+            import cv2
+
+            # cv::initUndistortRectifyMap + remap (imageProcessing.cpp:131-135)
+            self._undistort_maps = cv2.initUndistortRectifyMap(
+                self.K.astype(np.float64), np.asarray(distortion, np.float64),
+                None, self.K.astype(np.float64), (width, height), cv2.CV_16SC2)
         self.width, self.height = width, height
         self.R_ic = np.asarray(R_imu_camera, np.float64)
         self.t_ic = np.asarray(t_imu_camera, np.float64)
@@ -64,7 +83,17 @@ class LivoFrontend:
         self._drain()
 
     def push_image(self, t, image):
-        self.sync.push_image(ImageSample(t, np.asarray(image)))
+        image = np.asarray(image)
+        if self.image_resize_ratio != 1.0:
+            import cv2
+
+            image = cv2.resize(image, (self.width, self.height))
+        if self._undistort_maps is not None:
+            import cv2
+
+            image = cv2.remap(image, self._undistort_maps[0],
+                              self._undistort_maps[1], cv2.INTER_LINEAR)
+        self.sync.push_image(ImageSample(t, image))
         self._drain()
 
     # ------------------------------ pipeline ------------------------------

@@ -214,34 +214,53 @@ def _fwd_kernel(cfg: PallasConfig, off_ref, nch_ref, inst_ref, out_ref,
         zeros, zeros, zeros,                # C0, C1, C2
         zeros, zeros,                       # D, A
         zeros,                              # n_contrib (as f32)
+        jnp.where(nchunks > 0, 1.0, 0.0),   # pending: chunk i's DMA in flight
     )
 
     def body(i, carry):
-        T, done, C0, C1, C2, D, A, N = carry
+        *state, pending = carry
+        T, done = state[0], state[1]
         slot = jax.lax.rem(i, 2)
+        has_chunk = pending > 0.0
 
-        @pl.when(i + 1 < nchunks)
+        @pl.when(has_chunk)
+        def _():
+            get_dma(slot, i).wait()
+
+        # early exit (forward.cu:342-344 block vote): once every pixel is
+        # done, stop fetching and computing; `done` is monotone so the
+        # pending flag stays consistent with past start decisions.
+        all_done = jnp.min(done) > 0.0
+        fetch_next = jnp.logical_and(
+            has_chunk, jnp.logical_and(jnp.logical_not(all_done),
+                                       i + 1 < nchunks))
+
+        @pl.when(fetch_next)
         def _():
             get_dma(jax.lax.rem(i + 1, 2), i + 1).start()
 
-        get_dma(slot, i).wait()
-        featT = buf_ref[slot].T  # (CHUNK, FEAT): gaussians on sublanes
-        m = _chunk_terms(featT, px, py, T, done > 0.0)
+        def compute(state):
+            T, done, C0, C1, C2, D, A, N = state
+            featT = buf_ref[slot].T  # (CHUNK, FEAT): gaussians on sublanes
+            m = _chunk_terms(featT, px, py, T, done > 0.0)
+            w = m["w"]
+            C0 = C0 + jnp.sum(w * featT[:, _FR][:, None], axis=0, keepdims=True)
+            C1 = C1 + jnp.sum(w * featT[:, _FG][:, None], axis=0, keepdims=True)
+            C2 = C2 + jnp.sum(w * featT[:, _FB2][:, None], axis=0, keepdims=True)
+            D = D + jnp.sum(w * featT[:, _FD][:, None], axis=0, keepdims=True)
+            A = A + jnp.sum(w, axis=0, keepdims=True)
+            row = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, NPIX), 0)
+            idx = (row + i * CHUNK + 1).astype(jnp.float32)
+            N = jnp.maximum(N, jnp.max(jnp.where(m["contrib"], idx, 0.0),
+                                       axis=0, keepdims=True))
+            return (m["T_out"], m["done_out"].astype(jnp.float32),
+                    C0, C1, C2, D, A, N)
 
-        w = m["w"]
-        C0 = C0 + jnp.sum(w * featT[:, _FR][:, None], axis=0, keepdims=True)
-        C1 = C1 + jnp.sum(w * featT[:, _FG][:, None], axis=0, keepdims=True)
-        C2 = C2 + jnp.sum(w * featT[:, _FB2][:, None], axis=0, keepdims=True)
-        D = D + jnp.sum(w * featT[:, _FD][:, None], axis=0, keepdims=True)
-        A = A + jnp.sum(w, axis=0, keepdims=True)
-        row = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, NPIX), 0)
-        idx = (row + i * CHUNK + 1).astype(jnp.float32)
-        N = jnp.maximum(N, jnp.max(jnp.where(m["contrib"], idx, 0.0), axis=0,
-                                   keepdims=True))
-        return (m["T_out"], m["done_out"].astype(jnp.float32),
-                C0, C1, C2, D, A, N)
+        do_work = jnp.logical_and(has_chunk, jnp.logical_not(all_done))
+        state = jax.lax.cond(do_work, compute, lambda s: s, tuple(state))
+        return (*state, jnp.where(fetch_next, 1.0, 0.0))
 
-    T, done, C0, C1, C2, D, A, N = jax.lax.fori_loop(0, nchunks, body, init)
+    T, done, C0, C1, C2, D, A, N, _ = jax.lax.fori_loop(0, nchunks, body, init)
 
     out_ref[0, :, :] = jnp.concatenate(
         [C0, C1, C2, D, A, T, N, jnp.zeros_like(T)], axis=0

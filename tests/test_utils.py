@@ -128,3 +128,19 @@ def test_yaml_config_layering():
     assert cfg.gp.grid == 0.5
     assert cfg.odometry.init_num_frames == 2
     assert cfg.icp.num_iters_icp == 6
+
+
+def test_parse_log_time_roundtrip(tmp_path):
+    from gslivm_tpu.utils.metrics import parse_log_time
+    Timer.reset()
+    with Timer.evaluate("a", stamp=1.0):
+        pass
+    with Timer.evaluate("b", stamp=2.0):
+        pass
+    p = str(tmp_path / "log_time.txt")
+    Timer.dump_into_file(4, 400.0, p)
+    parsed = parse_log_time(p)
+    assert parsed["realtime_ms"] == 100.0
+    assert set(parsed["sections"]) == {"a", "b"}
+    assert parsed["sections"]["a"][0][0] == 1.0
+    Timer.reset()
