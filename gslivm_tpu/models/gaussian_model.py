@@ -294,8 +294,10 @@ def save_ply(params: GaussianParams, path: str):
     n = int(params.n_active)
     xyz = np.asarray(params.xyz[:n], dtype=np.float32)
     normals = np.zeros_like(xyz)
-    f_dc = np.asarray(params.features_dc[:n], np.float32).transpose(0, 2, 1).reshape(n, -1)
-    f_rest = np.asarray(params.features_rest[:n], np.float32).transpose(0, 2, 1).reshape(n, -1)
+    k_dc = params.features_dc.shape[1] * 3
+    k_rest = params.features_rest.shape[1] * 3
+    f_dc = np.asarray(params.features_dc[:n], np.float32).transpose(0, 2, 1).reshape(n, k_dc)
+    f_rest = np.asarray(params.features_rest[:n], np.float32).transpose(0, 2, 1).reshape(n, k_rest)
     opacity = np.asarray(params.opacity[:n], np.float32)
     scale = np.asarray(params.scaling[:n], np.float32)
     rot = np.asarray(params.rotation[:n], np.float32)

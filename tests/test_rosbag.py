@@ -24,6 +24,11 @@ def _std_header(secs=10, nsecs=500000000, frame=b"imu") -> bytes:
     return struct.pack("<III", 1, secs, nsecs) + struct.pack("<I", len(frame)) + frame
 
 
+def _stamp_header(t: float) -> bytes:
+    secs = int(t)
+    return _std_header(secs, int((t - secs) * 1e9))
+
+
 def _conn_record(conn, topic, dtype):
     ch = _header({"type": dtype.encode(), "md5sum": b"x",
                   "message_definition": b""})
@@ -38,8 +43,8 @@ def _msg_record(conn, t, data):
                     "time": struct.pack("<II", secs, nsecs)}, data)
 
 
-def _imu_msg(gyr, acc):
-    return (_std_header() + struct.pack("<4d", 0, 0, 0, 1)
+def _imu_msg(gyr, acc, t=10.5):
+    return (_stamp_header(t) + struct.pack("<4d", 0, 0, 0, 1)
             + struct.pack("<9d", *([0] * 9))
             + struct.pack("<3d", *gyr) + struct.pack("<9d", *([0] * 9))
             + struct.pack("<3d", *acc) + struct.pack("<9d", *([0] * 9)))
@@ -63,11 +68,11 @@ def _pc2_msg(xyz, times):
             + struct.pack("<I", len(buf)) + buf)
 
 
-def _livox_msg(xyz, offsets_ns, tags):
+def _livox_msg(xyz, offsets_ns, tags, t=10.5):
     body = struct.pack("<Q", 123) + struct.pack("<I", len(xyz)) + bytes([0, 0, 0, 0])
     for p, off, tag in zip(xyz, offsets_ns, tags):
-        body += struct.pack("<I", off) + struct.pack("<3f", *p) + bytes([7, tag, 1])
-    return _std_header() + body
+        body += struct.pack("<I", int(off)) + struct.pack("<3f", *p) + bytes([7, tag, 1])
+    return _stamp_header(t) + body
 
 
 def _write_bag(path, records):
@@ -94,7 +99,7 @@ def test_bag_imu_and_pc2(tmp_path, rng):
     imu = rosbag.decode(msgs[0])
     np.testing.assert_allclose(imu.gyr, [0.1, 0.2, 0.3])
     np.testing.assert_allclose(imu.acc, [0, 0, 9.81])
-    assert abs(imu.t - 10.5) < 1e-6  # header stamp, not bag time
+    assert abs(imu.t - 10.5) < 1e-6  # header stamp default, not bag time
 
     sweep = rosbag.decode(msgs[1])
     np.testing.assert_allclose(sweep.xyz, xyz, rtol=1e-6)
@@ -127,3 +132,105 @@ def test_bag_topic_filter(tmp_path, rng):
     _write_bag(path, recs)
     msgs = list(rosbag.read_bag(path, topics={"/imu"}))
     assert len(msgs) == 1 and msgs[0].topic == "/imu"
+
+
+def _image_msg(img, t=10.5):
+    h, w = img.shape[:2]
+    enc = b"rgb8"
+    data = img.tobytes()
+    return (_stamp_header(t) + struct.pack("<II", h, w)
+            + struct.pack("<I", len(enc)) + enc
+            + bytes([0]) + struct.pack("<I", w * 3)
+            + struct.pack("<I", len(data)) + data)
+
+
+def test_full_bag_pipeline(tmp_path, rng):
+    """End-to-end: synthesize a mini livox+imu+image bag, run the complete
+    run_bag flow (frontend + mapper) on it."""
+    import subprocess
+    import sys
+
+    from gslivm_tpu.frontend import synthetic, so3
+
+    planes = synthetic.default_scene()
+    cams = synthetic.make_trajectory(3, 64, 48)
+    cam = cams[0]
+    R_wc = np.asarray(cam.R_cw).T
+    center = np.asarray(cam.cam_center)
+    fx = float(np.asarray(cam.fx))
+
+    recs = [
+        _conn_record(0, "/livox/imu", "sensor_msgs/Imu"),
+        _conn_record(1, "/livox/lidar", "livox_ros_driver/CustomMsg"),
+        _conn_record(2, "/cam", "sensor_msgs/Image"),
+    ]
+    g = [0, 0, 9.81]
+    t = 1.0
+    for _ in range(90):  # 0.45 s static init
+        recs.append(_msg_record(0, t, _imu_msg([0, 0, 0], g, t)))
+        t += 0.005
+    for k in range(4):
+        pts_w = synthetic.sample_surface_points(cam, planes, 4000, rng)
+        pts_s = (pts_w - center) @ R_wc
+        offs = np.linspace(0, 90e6, len(pts_s)).astype(np.uint64)
+        recs.append(_msg_record(
+            1, t, _livox_msg(pts_s.tolist(), offs.tolist(),
+                             [0x10] * len(pts_s), t)))
+        for j in range(20):
+            tj = t + j * 0.005
+            recs.append(_msg_record(0, tj, _imu_msg([0, 0, 0], g, tj)))
+        img = synthetic.render_image(cam, planes)
+        recs.append(_msg_record(2, t + 0.095, _image_msg(img, t + 0.095)))
+        t += 0.1
+
+    bag = str(tmp_path / "mini.bag")
+    _write_bag(bag, recs)
+
+    ds = tmp_path / "ds.yaml"
+    ds.write_text(f"""
+dataset:
+    lidar_topic: "/livox/lidar"
+    imu_topic: "/livox/imu"
+    image_topic: "/cam"
+    lidar_type: livox
+    image_width: 64
+    image_height: 48
+    image_resize_ratio: 1.0
+    fx: {fx}
+    fy: {fx * 0.75 / (48 / 64 * 0.75) if False else float(np.asarray(cam.fy)) * 1.0}
+    cx: 31.5
+    cy: 23.5
+    dist_k1: 0.0
+    dist_k2: 0.0
+    dist_p1: 0.0
+    dist_p2: 0.0
+    dist_k3: 0.0
+    t_imu_lidar: "0,0,0"
+    R_imu_lidar: "1,0,0,0,1,0,0,0,1"
+    t_imu_camera: "0,0,0"
+    R_imu_camera: "1,0,0,0,1,0,0,0,1"
+gp:
+    grid: 0.5
+odometry:
+    init_num_frames: 2
+    voxel_size: 0.05
+    sample_voxel_size: 0.6
+    init_voxel_size: 0.05
+    init_sample_voxel_size: 0.6
+icp:
+    min_number_neighbors: 8
+    max_num_residuals: 300
+    size_voxel_map: 0.5
+    num_iters_icp: 6
+""")
+    out = tmp_path / "out"
+    res = subprocess.run(
+        [sys.executable, "examples/run_bag.py", bag,
+         "--dataset", str(ds), "--out", str(out), "--cpu",
+         "--backend", "naive", "--train-iters-per-frame", "2"],
+        capture_output=True, text=True, timeout=480,
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    produced = set(__import__("os").listdir(out))
+    assert {"map.ply", "pose.txt", "log_time.txt", "training"} <= produced, produced
