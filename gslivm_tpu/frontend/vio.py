@@ -309,6 +309,116 @@ class OpticalFlowTracker:
         return True
 
 
+def _image_color_grad(image: np.ndarray, u: np.ndarray, v: np.ndarray):
+    """Bilinear color + central-difference color gradients (the reference's
+    getRgb(u, v, 0, &dx, &dy), cloudFrame path)."""
+    c0 = _bilinear(image, u, v)
+    cdx = (_bilinear(image, np.clip(u + 1, 0, image.shape[1] - 2), v)
+           - _bilinear(image, np.clip(u - 1, 0, image.shape[1] - 2), v)) / 2.0
+    cdy = (_bilinear(image, u, np.clip(v + 1, 0, image.shape[0] - 2))
+           - _bilinear(image, u, np.clip(v - 1, 0, image.shape[0] - 2))) / 2.0
+    return c0, cdx, cdy
+
+
+def vio_photometric(state: VioState, cmap: ColorPointMap,
+                    track_idx: np.ndarray, image: np.ndarray,
+                    R_wi: np.ndarray, t_wi: np.ndarray,
+                    number_new_voxels: int, num_iterations: int = 2,
+                    estimate_extrinsic: bool = False):
+    """vioPhotometric (imageProcessing.cpp:440-602): 6-dim [so3_ic, t_ic]
+    RGB photometric update against the Bayesian point colors.
+
+    With estimate_extrinsic=False (the reference's hardcoded live config,
+    imageProcessing.cpp:20-21) the measurement Jacobian is zero and the
+    update is inert except for the covariance bookkeeping — reproduced for
+    parity. estimate_extrinsic=True enables the full update (a capability
+    the reference ships disabled). Returns (state, mean_sq_residual).
+
+    R_wi/t_wi: IMU->world pose; the camera pose derives from state.R_ic/t_ic.
+    """
+    idx = np.asarray(track_idx)
+    seen = cmap.n_rgb[idx] >= 3  # N_rgb < 3 skipped (imageProcessing.cpp:503)
+    idx = idx[seen]
+    n = len(idx)
+    if n < MIN_ITER_POINTS:
+        return state, 0.0
+    weight = max(0.001, min(5.0 / max(number_new_voxels, 1), 0.01))
+    H_img, W_img = image.shape[:2]
+
+    q_pred_R = state.R_ic.copy()
+    t_pred = state.t_ic.copy()
+    last_acc = 3e8
+    K_full = np.zeros((6, 3 * n))
+    H = np.zeros((3 * n, 6))
+    P6 = state.covariance[1:7, 1:7]
+
+    for _ in range(num_iterations):
+        R_wc = (R_wi @ state.R_ic)
+        c = R_wi @ state.t_ic + t_wi
+        R_cw = R_wc.T
+        t_cw = -R_cw @ c
+
+        pts = cmap.position[idx]
+        p_cam = pts @ R_cw.T + t_cw
+        z = np.where(p_cam[:, 2] > 1e-6, p_cam[:, 2], 1e-6)
+        u = state.fx * p_cam[:, 0] / z + state.cx
+        v = state.fy * p_cam[:, 1] / z + state.cy
+        inb = (u >= 1) & (u < W_img - 2) & (v >= 1) & (v < H_img - 2)
+        if inb.sum() < MIN_ITER_POINTS:
+            return state, 0.0
+        uu, vv = np.where(inb, u, 1.0), np.where(inb, v, 1.0)
+        obs, cdx, cdy = _image_color_grad(image, uu, vv)
+        resid = obs - cmap.rgb[idx]
+        resid[~inb] = 0.0
+        rn = np.linalg.norm(resid, axis=1)
+        hub = np.asarray([huber_scale(r) for r in rn])
+
+        rgb_cov = np.maximum(cmap.cov_rgb[idx], 1e-3)
+        r_inv = 1.0 / rgb_cov**2  # [n, 3] information diag
+
+        r_vec = (resid * hub[:, None]).reshape(-1)
+        acc = float((resid**2 * r_inv).sum())
+
+        H[:, :] = 0.0
+        if estimate_extrinsic:
+            for i in range(n):
+                if not inb[i]:
+                    continue
+                J_u_pc = np.array([
+                    [state.fx / z[i], 0.0, -state.fx * p_cam[i, 0] / z[i]**2],
+                    [0.0, state.fy / z[i], -state.fy * p_cam[i, 1] / z[i]**2],
+                ])
+                J_color_u = np.stack([cdx[i], cdy[i]], axis=1)  # [3, 2]
+                J_color_pc = J_color_u @ J_u_pc  # [3, 3]
+                H[3 * i:3 * i + 3, 0:3] = (
+                    J_color_pc @ so3.skew(p_cam[i]) * hub[i])
+                H[3 * i:3 * i + 3, 3:6] = (
+                    -J_color_pc @ state.R_ic.T * hub[i])
+
+        d_so3 = so3.rot_to_so3(q_pred_R.T @ state.R_ic)
+        d_x = np.concatenate([d_so3, state.t_ic - t_pred])
+        J0 = np.eye(6)
+        J0[0:3, 0:3] = np.eye(3) - 0.5 * so3.skew(d_so3)
+
+        HtR = H.T * np.repeat(r_inv.reshape(-1), 1)  # [6, 3n]
+        eq_inv = np.linalg.inv(J0 @ P6 @ J0.T * weight)
+        K_full = np.linalg.solve(HtR @ H + eq_inv, HtR)
+        sol = -K_full @ r_vec - (np.eye(6) - K_full @ H) @ J0 @ d_x
+
+        state.R_ic = state.R_ic @ so3.so3_to_rot(sol[0:3])
+        state.t_ic = state.t_ic + sol[3:6]
+
+        if acc / n < 10 or abs(acc - last_acc) < 0.01:
+            break
+        last_acc = acc
+
+    J_k = np.eye(6)
+    J_k[0:3, 0:3] = np.eye(3) - 0.5 * so3.skew(sol[0:3])
+    state.covariance[1:7, 1:7] = (
+        J_k @ (np.eye(6) - K_full @ H) @ P6 @ J_k.T)
+    return state, acc / max(n, 1)
+
+
 def vio_esikf_td(state: VioState, cmap: ColorPointMap,
                  track_idx: np.ndarray, track_uv: np.ndarray,
                  R_cw: np.ndarray, t_cw: np.ndarray,

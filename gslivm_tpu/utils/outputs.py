@@ -134,6 +134,25 @@ def save_depth_sbs(path: str, depth_a: np.ndarray, depth_b: np.ndarray):
     save_png(path, img)
 
 
+def export_video(image_dir: str, out_path: str, fps: int = 10) -> bool:
+    """PNG sequence -> mp4 (saveRender's ffmpeg step,
+    lioOptimization.cpp:2236-2244). Returns False when ffmpeg is absent."""
+    import shutil
+    import subprocess
+
+    if shutil.which("ffmpeg") is None:
+        return False
+    try:
+        subprocess.run(
+            ["ffmpeg", "-y", "-framerate", str(fps), "-pattern_type", "glob",
+             "-i", os.path.join(image_dir, "*.png"),
+             "-pix_fmt", "yuv420p", out_path],
+            check=True, capture_output=True, timeout=600)
+        return True
+    except Exception:
+        return False
+
+
 def write_cfg_args(output_path: str, sh_degree: int = 0,
                    white_background: bool = True, images: str = "images"):
     """cfg_args for SIBR-viewer compatibility (parameters.cu:13-36)."""

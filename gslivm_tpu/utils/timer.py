@@ -93,3 +93,41 @@ class Timer:
     @classmethod
     def reset(cls):
         cls._records = OrderedDict()
+
+
+def device_memory_mb() -> dict:
+    """Per-device HBM usage in MB — the listen_odom.py nvidia-smi analog
+    (python/listen_odom.py:15-60 samples GPU memory per odometry frame)."""
+    import jax
+
+    out = {}
+    for d in jax.local_devices():
+        stats = getattr(d, "memory_stats", lambda: None)()
+        if stats:
+            out[str(d)] = {
+                "bytes_in_use_mb": round(stats.get("bytes_in_use", 0) / 2**20, 1),
+                "peak_bytes_mb": round(
+                    stats.get("peak_bytes_in_use", 0) / 2**20, 1),
+            }
+    return out
+
+
+class DeviceTrace:
+    """jax.profiler trace scope — the chrome-trace/nvtx analog the reference
+    lacks (SURVEY §5 'no nvtx/chrome-trace'). View with TensorBoard or
+    xprof."""
+
+    def __init__(self, logdir: str):
+        self.logdir = logdir
+
+    def __enter__(self):
+        import jax
+
+        jax.profiler.start_trace(self.logdir)
+        return self
+
+    def __exit__(self, *exc):
+        import jax
+
+        jax.profiler.stop_trace()
+        return False

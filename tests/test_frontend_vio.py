@@ -104,3 +104,51 @@ def test_vio_esikf_recovers_td(rng):
     st = vio.vio_esikf_td(st, cmap, idx, track_uv, np.eye(3), np.zeros(3),
                           number_new_voxels=100, num_iterations=5)
     assert abs(st.time_td - td_true) < 0.005, st.time_td
+
+
+def test_vio_photometric_recovers_extrinsic_shift(rng):
+    """With estimate_extrinsic=True, a small t_ic offset is corrected
+    against a color-gradient image; with False (reference live config) the
+    update is inert."""
+    cmap = vio.ColorPointMap()
+    n = 60
+    pts = np.stack([rng.uniform(-1, 1, n), rng.uniform(-0.7, 0.7, n),
+                    np.full(n, 4.0)], axis=1)
+    cmap.add_points(pts)
+    idx = np.arange(n)
+
+    # steep color ramps (float image, deliberately beyond u8 range) so the
+    # residuals stay above the reference's acc/n < 10 early-break and the
+    # update iterates to convergence
+    W, H = 160, 120
+    img = np.zeros((H, W, 3))
+    img[:, :, 0] = np.linspace(0, 2550, W)[None, :]
+    img[:, :, 1] = np.linspace(0, 2550, H)[:, None]
+
+    st = vio.VioState(fx=100.0, fy=100.0, cx=79.5, cy=59.5,
+                      covariance=np.eye(11) * 10.0)
+    # ground-truth colors = image colors at the TRUE (identity) extrinsic
+    p_cam = pts
+    u = 100 * p_cam[:, 0] / p_cam[:, 2] + 79.5
+    v = 100 * p_cam[:, 1] / p_cam[:, 2] + 59.5
+    cmap.rgb[idx] = vio._bilinear(img, u, v)
+    cmap.cov_rgb[idx] = 5.0
+    cmap.n_rgb[idx] = 5
+
+    # perturb the extrinsic translation
+    st.t_ic = np.array([0.02, -0.015, 0.0])
+    err0 = np.linalg.norm(st.t_ic)
+    st, acc = vio.vio_photometric(st, cmap, idx, img, np.eye(3), np.zeros(3),
+                                  number_new_voxels=200, num_iterations=8,
+                                  estimate_extrinsic=True)
+    err1 = np.linalg.norm(st.t_ic[:2])  # t_z unobservable from ramps
+    assert err1 < err0 * 0.5, (err0, err1)
+
+    # inert mode: state unchanged (reference live-config parity)
+    st2 = vio.VioState(fx=100.0, fy=100.0, cx=79.5, cy=59.5)
+    st2.t_ic = np.array([0.02, -0.015, 0.0])
+    before = st2.t_ic.copy()
+    st2, _ = vio.vio_photometric(st2, cmap, idx, img, np.eye(3), np.zeros(3),
+                                 number_new_voxels=200,
+                                 estimate_extrinsic=False)
+    np.testing.assert_allclose(st2.t_ic, before)
