@@ -39,6 +39,8 @@ class RasterizeSettings(NamedTuple):
     scale_modifier: float = 1.0
     depth_grad: bool = False
     backend: str = "auto"
+    max_instances: int = 2**20       # pallas binning budget
+    max_chunks_per_tile: int = 64    # pallas per-tile cap
 
 
 def _resolve_backend(backend: str) -> str:
@@ -67,6 +69,8 @@ def _render_impl(settings: RasterizeSettings, camera, means, scales, quats,
             sh_degree=settings.sh_degree,
             scale_modifier=settings.scale_modifier,
             active_mask=active_mask,
+            max_instances=settings.max_instances,
+            max_chunks_per_tile=settings.max_chunks_per_tile,
         )
     else:
         raise ValueError(f"unknown rasterizer backend: {backend!r}")
