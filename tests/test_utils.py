@@ -144,3 +144,35 @@ def test_parse_log_time_roundtrip(tmp_path):
     assert set(parsed["sections"]) == {"a", "b"}
     assert parsed["sections"]["a"][0][0] == 1.0
     Timer.reset()
+
+
+def test_debug_dump_compare(tmp_path, rng):
+    from gslivm_tpu.utils import debug
+    a = rng.normal(size=(8, 3)).astype(np.float32)
+    pa, pb = str(tmp_path / "a.npy"), str(tmp_path / "b.npy")
+    debug.save_tensor(pa, a)
+    debug.save_tensor(pb, a + 1e-7)
+    rep = debug.compare_dumps(pa, pb)
+    assert rep["match"] and rep["max_abs"] < 1e-6
+    debug.save_tensor(pb, a + 1.0)
+    assert not debug.compare_dumps(pa, pb)["match"]
+
+
+def test_trajectory_ate(tmp_path, rng):
+    from gslivm_tpu.utils import outputs, trajectory
+    # ground truth + an estimate in a rotated/shifted frame with noise
+    n = 40
+    t = np.arange(n) * 0.1
+    gt = np.stack([np.sin(t), np.cos(t), 0.1 * t], axis=1)
+    ang = 0.7
+    R = np.array([[np.cos(ang), -np.sin(ang), 0],
+                  [np.sin(ang), np.cos(ang), 0], [0, 0, 1]])
+    est = gt @ R.T + np.array([5.0, -2.0, 1.0]) + rng.normal(0, 0.005, (n, 3))
+    pe, pg = str(tmp_path / "est.txt"), str(tmp_path / "gt.txt")
+    for i in range(n):
+        outputs.append_tum_pose(pe, t[i], est[i], [0, 0, 0, 1])
+        outputs.append_tum_pose(pg, t[i], gt[i], [0, 0, 0, 1])
+    rep = trajectory.evaluate_tum_files(pe, pg)
+    assert rep["matched"] == n
+    assert rep["ate_rmse"] < 0.02  # alignment removes the frame offset
+    assert rep["rpe_rmse"] < 0.5
