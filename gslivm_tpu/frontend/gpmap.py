@@ -134,7 +134,12 @@ class GpMap:
         cfg = self.cfg
         nt = cfg.min_points_num_to_gp
         v = len(work)
-        vpad = max(_round_up(v, 8), 8)
+        # power-of-two bucketing: the padded batch size is a jit shape, so
+        # arbitrary sizes would recompile gp_forward every frame (remote TPU
+        # compiles cost tens of seconds); buckets bound it to log2 variants
+        vpad = 8
+        while vpad < v:
+            vpad *= 2
         points = np.zeros((vpad, nt, 3), np.float32)
         variance = np.full((vpad, nt), cfg.variance_sensor, np.float32)
         direction = np.zeros((vpad,), np.int32)

@@ -73,6 +73,10 @@ def _depthwise_conv2d_same(img, window):
         padding=[(k // 2, k // 2), (k // 2, k // 2)],
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         feature_group_count=img.shape[0],
+        # full f32: at the default bf16 MXU precision the variance
+        # cancellation conv(img^2) - mu^2 has errors comparable to C2, and
+        # SSIM can exceed 1 on TPU (driving the image loss negative)
+        precision=jax.lax.Precision.HIGHEST,
     )
     return out[0]
 
