@@ -8,16 +8,30 @@ instances dynamically and syncs it to the host mid-pipeline
 (rasterizer_impl.cu:277) — a pattern XLA cannot express. Instead:
 
   1. A STATIC instance budget `max_instances`. The slot->gaussian mapping is
-     recovered with a searchsorted over the exclusive-cumsum offsets (the
-     inverse of the CUDA scatter loop), so the whole expansion is a fixed-
-     shape gather. Budget overflow is counted, not crashed on.
-  2. A two-key lexicographic `jax.lax.sort` (tile_id, depth) replaces the
-     radix sort on packed [tile|depth-bits] keys (rasterizer_impl.cu:94).
-     lax.sort is stable, so equal (tile, depth) keep gaussian-index order
-     exactly like cub's stable radix sort.
+     recovered with scatter+running-max expansions (the inverse of the CUDA
+     scatter loop), so the whole expansion is fixed-shape. Budget overflow is
+     counted, not crashed on.
+  2. ONE single-array `jax.lax.sort` over fused [tile | depth-rank] int32
+     keys replaces the radix sort on packed [tile|depth-bits] keys
+     (rasterizer_impl.cu:94). Gaussians are depth-ranked FIRST, so rank order
+     == (depth, index) order and the fused key reproduces cub's stable radix
+     sort ordering exactly; both tile and gaussian ids are recovered from the
+     sorted key by bit masking — the sort carries NO payload.
   3. Per-tile runs are REPADDED to 128-instance alignment so the render
-     kernel's DMA chunks are lane-aligned; padding slots carry gaussian id
-     -1 and render as alpha=0.
+     kernel's DMA chunks are lane-aligned; padding slots carry id -1 and
+     render as alpha=0.
+  4. Optional per-(gaussian, tile) ELLIPSE CULL (tile_cull=True): drops
+     instances whose tile lies entirely outside the splat's alpha >= 1/255
+     level set (exact min of the conic quadratic over the tile box,
+     rasterize_reference.tile_min_power). Lossless for C/D/S images and all
+     gradients — the render kernel itself skips those pixels
+     (forward.cu:374) — but shrinks per-tile lists substantially for
+     anisotropic splats (the reference bins the full 3-sigma square).
+
+Instance ids are returned in DEPTH-RANK space (`gauss_rank`) together with
+the rank->original permutation (`dorder`): un-permuting 2M+ instance slots
+costs an 18 ms HBM-random gather at 1080p, while consumers can instead
+permute their small per-gaussian tables once (~0.5 ms).
 
 Everything here is integer bookkeeping on stop-gradient values; gradients
 flow through the separate instance-feature gather (rasterize_pallas.py).
@@ -31,13 +45,21 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .rasterize_reference import TILE, PreprocessedGaussians, tile_grid
+from .rasterize_reference import (
+    TILE,
+    TILE_CULL_EPS,
+    PreprocessedGaussians,
+    tile_grid,
+    tile_min_power,
+)
 
 CHUNK = 128  # render-kernel chunk size; per-tile runs are padded to this
 
 
 class BinnedInstances(NamedTuple):
-    gauss_id: jnp.ndarray      # [max_instances_padded] int32, -1 = padding
+    gauss_rank: jnp.ndarray    # [max_instances_padded] int32 DEPTH-RANK ids,
+                               #   -1 = padding; original id = dorder[rank]
+    dorder: jnp.ndarray        # [num_gauss] int32 rank -> original gaussian id
     tile_nchunks: jnp.ndarray  # [num_tiles] int32 — chunks of CHUNK instances
     tile_offset: jnp.ndarray   # [num_tiles] int32 — start slot (CHUNK-aligned)
     num_instances: jnp.ndarray # [] int32 — real (unpadded, unclamped) count
@@ -52,6 +74,7 @@ def bin_instances(
     max_chunks_per_tile: int = 64,
     band_start=None,
     band_rows: int | None = None,
+    tile_cull: bool = True,
 ) -> BinnedInstances:
     """Expand gaussians into depth-sorted, tile-aligned instance slots.
 
@@ -82,7 +105,7 @@ def bin_instances(
 
     # 1) Depth-order the gaussians FIRST (stable; invalid last). After this
     #    permutation, gaussian index == depth rank, which makes the fused
-    #    sort key below exact and saves a 2M-wide rank gather.
+    #    sort key below exact and lets instance ids stay in rank space.
     dorder = jnp.argsort(
         jnp.where(pre.valid, depth, jnp.inf), stable=True
     ).astype(jnp.int32)
@@ -124,33 +147,52 @@ def bin_instances(
 
     # 3) slot -> tile within the gaussian's rect, row-major like the CUDA
     #    loop (duplicateWithKeys, rasterizer_impl.cu:64-101). Rect metadata
-    #    is packed into ONE int32 per gaussian so the 2M-wide slot expansion
-    #    costs a single gather.
+    #    is fetched with ONE 2-D gather from a small (3, P) table — ~6x
+    #    cheaper on TPU than 1-D gathers of the same element count.
     k = slots - off_slot
     rect_w = jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 1)
-    meta = rect_min[:, 0] | (rect_min[:, 1] << 10) | (rect_w << 20)  # <1024 tiles/axis
-    m = meta[gid]
-    r_x = m & 0x3FF
-    r_y = (m >> 10) & 0x3FF
-    r_w = m >> 20
-    tile_id = (r_y + k // r_w) * grid_x + (r_x + k % r_w)
+    rmeta = jnp.stack([rect_min[:, 0], rect_min[:, 1], rect_w], axis=0)
+    r = rmeta[:, gid]
+    r_x, r_y, r_w = r[0], r[1], r[2]
+    ty = r_y + k // r_w  # band-relative when banded
+    tx = r_x + k % r_w
+    tile_id = ty * grid_x + tx
+
+    if tile_cull:
+        # Per-instance lossless ellipse cull (module doc #4). Per-slot splat
+        # params come from one (6, P) small-table gather in rank space.
+        mean2d = jax.lax.stop_gradient(pre.mean2d)
+        conic = jax.lax.stop_gradient(pre.conic)
+        op = jax.lax.stop_gradient(
+            jnp.where(pre.valid, pre.opacity, 0.0))
+        ftab = jnp.stack(
+            [mean2d[:, 0], mean2d[:, 1],
+             conic[:, 0], conic[:, 1], conic[:, 2], op], axis=0
+        )[:, dorder]
+        f = ftab[:, gid]
+        ty_abs = ty + y0 if banded else ty
+        qmin = tile_min_power(f[0], f[1], f[2], f[3], f[4], tx, ty_abs)
+        keep = f[5] * jnp.exp(-qmin) >= TILE_CULL_EPS
+        tile_id = jnp.where(keep, tile_id, num_tiles)
+
     tile_id = jnp.where(slot_valid, tile_id, num_tiles)  # sentinel -> end
 
-    # 4) ONE-key sort: (tile << bits_p) | depth_rank. Identical ordering to
-    #    the reference's [tile | depth-bits] radix sort with stable ties
-    #    (rasterizer_impl.cu:94, 295-309), since rank order == (depth, index)
-    #    order. Falls back to a 2-key lexicographic sort if the packed key
-    #    would overflow int32.
+    # 4) ONE-array sort on fused key (tile << bits_p) | rank. Identical
+    #    ordering to the reference's [tile | depth-bits] radix sort with
+    #    stable ties (rasterizer_impl.cu:94, 295-309), since rank order ==
+    #    (depth, index) order. Falls back to a 2-key sort if the packed key
+    #    would overflow int32 ((tile, rank) pairs are unique, so stability
+    #    is irrelevant there).
     bits_p = max(int(np.ceil(np.log2(max(num_gauss, 2)))), 1)
     bits_tile = int(np.ceil(np.log2(num_tiles + 2)))
     if bits_p + bits_tile <= 31:
         key = (tile_id << bits_p) | gid
-        key_sorted, gid_sorted = jax.lax.sort((key, gid), num_keys=1,
-                                              is_stable=False)
+        key_sorted = jax.lax.sort((key,), num_keys=1, is_stable=False)[0]
         tile_sorted = key_sorted >> bits_p
+        gid_sorted = key_sorted & ((1 << bits_p) - 1)
     else:
-        tile_sorted, _, gid_sorted = jax.lax.sort(
-            (tile_id, depth[dorder][gid], gid), num_keys=2, is_stable=True
+        tile_sorted, gid_sorted = jax.lax.sort(
+            (tile_id, gid), num_keys=2, is_stable=False
         )
 
     # 5) Per-tile ranges (identifyTileRanges equivalent; 8k-element
@@ -189,17 +231,18 @@ def bin_instances(
     dst = slots + delta_s
     keep = (tile_sorted < num_tiles) & (dst < bound_s)
     dst = jnp.where(keep, dst, padded_size)  # dropped -> discard slot
-    gauss_id = jnp.full((padded_size + 1,), -1, dtype=jnp.int32)
-    gauss_id = gauss_id.at[dst].set(jnp.where(keep, gid_sorted, -1), mode="drop")
-    gauss_id = gauss_id[:padded_size]
+    gauss_rank = jnp.full((padded_size + 1,), -1, dtype=jnp.int32)
+    gauss_rank = gauss_rank.at[dst].set(
+        jnp.where(keep, gid_sorted, -1), mode="drop")
+    gauss_rank = gauss_rank[:padded_size]
 
-    # 7) Un-permute: slots carry depth-ranked ids; map back to original ids.
-    gauss_id = jnp.where(gauss_id >= 0, dorder[jnp.maximum(gauss_id, 0)], -1)
+    # NOTE: ids stay in rank space — no PAD-wide un-permute (module doc).
 
     overflow = jnp.maximum(total - max_instances, 0) + jnp.sum(cnt - cnt_capped)
 
     return BinnedInstances(
-        gauss_id=gauss_id,
+        gauss_rank=gauss_rank,
+        dorder=dorder,
         tile_nchunks=cnt_padded // CHUNK,
         tile_offset=tile_offset,
         num_instances=total,

@@ -12,17 +12,21 @@ TPU-native redesign of the reference CUDA render kernels
     double-buffered async DMA (the analog of the CUDA collective
     shared-memory fetch, forward.cu:346-353).
   * Front-to-back compositing inside a chunk is vectorized with an exclusive
-    cumulative product over the sublane axis (log-space Hillis-Steele scan —
-    Mosaic has no cumsum primitive); the early-stop (T < 1e-4,
-    forward.cu:377-381) becomes a latched cumulative flag.
-  * The backward pass replaces CUDA's atomicAdd scatter (backward.cu:591-600)
-    with per-INSTANCE gradients written to a dense [PAD, 16] array,
+    cumulative product over the sublane axis (multiplicative Hillis-Steele
+    scan); the early-stop (T < 1e-4, forward.cu:377-381) becomes a
+    self-latching mask.
+  * The FORWARD kernel checkpoints per-chunk transmittance state (T with the
+    done flag in the sign bit) to HBM and records the per-tile EFFECTIVE
+    chunk count (first chunk at which every pixel saturated). The backward
+    therefore needs NO replay pass — it walks chunks in reverse directly
+    from the checkpoints and stops at the effective count, skipping the
+    fully-occluded tail that CUDA's backward re-traverses
+    (backward.cu:482-530).
+  * The backward replaces CUDA's atomicAdd scatter (backward.cu:591-600)
+    with per-INSTANCE gradients written to a dense [FEAT, PAD] array,
     segment-summed to per-gaussian gradients outside the kernel (TPU has no
-    atomics).
-  * Instead of CUDA's back-to-front T reconstruction by division
-    (backward.cu: T = T / (1 - alpha)), the backward replays forward once,
-    checkpointing per-chunk transmittance in VMEM, then walks chunks in
-    reverse using suffix sums — no divisions by (1 - alpha) products.
+    atomics). dL/dalpha uses ONE fused suffix scan per chunk; transmittance
+    is never reconstructed by division (backward.cu's T /= (1 - alpha)).
 
 Gradient semantics match the naive oracle (JAX autodiff of the exact forward
 math). KNOWN DEVIATION from the CUDA backward: the reference ignores the
@@ -187,8 +191,12 @@ def _chunk_terms(featT, px, py, T_in, done_in):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(cfg: PallasConfig, off_ref, nch_ref, inst_ref, out_ref,
-                buf_ref, sem_ref):
+def _fwd_kernel(cfg: PallasConfig, save_ckpt: bool, off_ref, nch_ref,
+                inst_ref, out_ref, *rest):
+    if save_ckpt:
+        ckpt_ref, buf_ref, ckpt_scr, sem_ref, csem_ref = rest
+    else:
+        buf_ref, sem_ref = rest
     t = pl.program_id(0)
     off = off_ref[t]
     nchunks = nch_ref[t]
@@ -214,11 +222,12 @@ def _fwd_kernel(cfg: PallasConfig, off_ref, nch_ref, inst_ref, out_ref,
         zeros, zeros, zeros,                # C0, C1, C2
         zeros, zeros,                       # D, A
         zeros,                              # n_contrib (as f32)
+        jnp.float32(-1.0),                  # neff: first all-done chunk
         jnp.where(nchunks > 0, 1.0, 0.0),   # pending: chunk i's DMA in flight
     )
 
     def body(i, carry):
-        *state, pending = carry
+        *state, neff, pending = carry
         T, done = state[0], state[1]
         slot = jax.lax.rem(i, 2)
         has_chunk = pending > 0.0
@@ -231,6 +240,7 @@ def _fwd_kernel(cfg: PallasConfig, off_ref, nch_ref, inst_ref, out_ref,
         # done, stop fetching and computing; `done` is monotone so the
         # pending flag stays consistent with past start decisions.
         all_done = jnp.min(done) > 0.0
+        neff = jnp.where((neff < 0.0) & all_done, i.astype(jnp.float32), neff)
         fetch_next = jnp.logical_and(
             has_chunk, jnp.logical_and(jnp.logical_not(all_done),
                                        i + 1 < nchunks))
@@ -238,6 +248,15 @@ def _fwd_kernel(cfg: PallasConfig, off_ref, nch_ref, inst_ref, out_ref,
         @pl.when(fetch_next)
         def _():
             get_dma(jax.lax.rem(i + 1, 2), i + 1).start()
+
+        do_work = jnp.logical_and(has_chunk, jnp.logical_not(all_done))
+
+        if save_ckpt:
+            # checkpoint chunk-START state for the backward: T with the done
+            # flag in the sign (T >= 1e-4 > 0 always, see _chunk_terms)
+            @pl.when(do_work)
+            def _():
+                ckpt_scr[pl.ds(i, 1), :] = T * (1.0 - 2.0 * done)
 
         def compute(state):
             T, done, C0, C1, C2, D, A, N = state
@@ -256,15 +275,23 @@ def _fwd_kernel(cfg: PallasConfig, off_ref, nch_ref, inst_ref, out_ref,
             return (m["T_out"], m["done_out"].astype(jnp.float32),
                     C0, C1, C2, D, A, N)
 
-        do_work = jnp.logical_and(has_chunk, jnp.logical_not(all_done))
         state = jax.lax.cond(do_work, compute, lambda s: s, tuple(state))
-        return (*state, jnp.where(fetch_next, 1.0, 0.0))
+        return (*state, neff, jnp.where(fetch_next, 1.0, 0.0))
 
-    T, done, C0, C1, C2, D, A, N, _ = jax.lax.fori_loop(0, nchunks, body, init)
+    T, done, C0, C1, C2, D, A, N, neff, _ = jax.lax.fori_loop(
+        0, nchunks, body, init)
+    neff = jnp.where(neff < 0.0, nchunks.astype(jnp.float32), neff)
 
     out_ref[0, :, :] = jnp.concatenate(
-        [C0, C1, C2, D, A, T, N, jnp.zeros_like(T)], axis=0
+        [C0, C1, C2, D, A, T, N, jnp.full((1, NPIX), neff)], axis=0
     )
+
+    if save_ckpt:
+        @pl.when(nchunks > 0)
+        def _():
+            cp = pltpu.make_async_copy(ckpt_scr, ckpt_ref.at[t], csem_ref)
+            cp.start()
+            cp.wait()
 
 
 # ---------------------------------------------------------------------------
@@ -272,12 +299,12 @@ def _fwd_kernel(cfg: PallasConfig, off_ref, nch_ref, inst_ref, out_ref,
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(cfg: PallasConfig, off_ref, nch_ref, inst_ref, g_ref,
-                dinst_ref, buf_ref, ckpt_T_ref, ckpt_done_ref, gbuf_ref,
-                rsem_ref, wsem_ref):
+def _bwd_kernel(cfg: PallasConfig, off_ref, neff_ref, inst_ref, g_ref,
+                fwd_ref, ckpt_ref, dinst_ref, buf_ref, ckpt_scr, gbuf_ref,
+                rsem_ref, wsem_ref, csem_ref):
     t = pl.program_id(0)
     off = off_ref[t]
-    nchunks = nch_ref[t]
+    neff = neff_ref[t]
     px, py = _pixel_coords(t, cfg.grid_x)
 
     def get_dma(slot, i):
@@ -296,30 +323,14 @@ def _bwd_kernel(cfg: PallasConfig, off_ref, nch_ref, inst_ref, g_ref,
             wsem_ref.at[slot],
         )
 
-    # ---- Phase A: replay forward, checkpoint per-chunk (T, done). --------
-    @pl.when(nchunks > 0)
+    # Fetch this tile's forward checkpoints (ONE block DMA) and the first
+    # feature chunk; no replay — the forward already saved everything.
+    @pl.when(neff > 0)
     def _():
-        get_dma(0, 0).start()
-
-    def replay(i, carry):
-        T, done = carry
-        slot = jax.lax.rem(i, 2)
-
-        @pl.when(i + 1 < nchunks)
-        def _():
-            get_dma(jax.lax.rem(i + 1, 2), i + 1).start()
-
-        get_dma(slot, i).wait()
-        ckpt_T_ref[pl.ds(i, 1), :] = T
-        ckpt_done_ref[pl.ds(i, 1), :] = done
-        m = _chunk_terms(buf_ref[slot].T, px, py, T, done > 0.0)
-        return (m["T_out"], m["done_out"].astype(jnp.float32))
-
-    T_fin, _ = jax.lax.fori_loop(
-        0, nchunks,
-        replay,
-        (jnp.ones((1, NPIX), jnp.float32), jnp.zeros((1, NPIX), jnp.float32)),
-    )
+        cp = pltpu.make_async_copy(ckpt_ref.at[t], ckpt_scr, csem_ref)
+        cp.start()
+        get_dma(jax.lax.rem(neff - 1, 2), neff - 1).start()
+        cp.wait()
 
     # Cotangents for this tile: rows C0,C1,C2,D,A,T of the fwd output.
     g = g_ref[0]  # (8, NPIX)
@@ -329,18 +340,15 @@ def _bwd_kernel(cfg: PallasConfig, off_ref, nch_ref, inst_ref, g_ref,
     gD = g[3:4, :]
     gA = g[4:5, :]
     gT = g[5:6, :]
+    T_fin = fwd_ref[0, 5:6, :]  # final transmittance from the forward
 
-    # ---- Phase B: reverse chunk walk with suffix-sum carries. ------------
-    @pl.when(nchunks > 0)
-    def _():
-        get_dma(jax.lax.rem(nchunks - 1, 2), nchunks - 1).start()
-
+    # ---- Reverse chunk walk with suffix-sum carries. ---------------------
     zeros = jnp.zeros((1, NPIX), jnp.float32)
     carry0 = (zeros,)  # fused suffix-sum carry W_psi
 
     def reverse(j, carry):
         (Wpsi,) = carry
-        i = nchunks - 1 - j
+        i = neff - 1 - j
         slot = jax.lax.rem(i, 2)
 
         @pl.when(i - 1 >= 0)
@@ -349,8 +357,9 @@ def _bwd_kernel(cfg: PallasConfig, off_ref, nch_ref, inst_ref, g_ref,
 
         get_dma(slot, i).wait()
         featT = buf_ref[slot].T  # (CHUNK, FEAT)
-        T_in = ckpt_T_ref[pl.ds(i, 1), :]
-        done_in = ckpt_done_ref[pl.ds(i, 1), :] > 0.0
+        T_signed = ckpt_scr[pl.ds(i, 1), :]
+        T_in = jnp.abs(T_signed)
+        done_in = T_signed < 0.0
         m = _chunk_terms(featT, px, py, T_in, done_in)
 
         w = m["w"]
@@ -414,14 +423,14 @@ def _bwd_kernel(cfg: PallasConfig, off_ref, nch_ref, inst_ref, g_ref,
 
         return (Wpsi + jnp.sum(w * psi, axis=0, keepdims=True),)
 
-    jax.lax.fori_loop(0, nchunks, reverse, carry0)
+    jax.lax.fori_loop(0, neff, reverse, carry0)
 
     # drain outstanding grad writes
-    @pl.when(nchunks >= 1)
+    @pl.when(neff >= 1)
     def _():
         put_dma(0, 0).wait()
 
-    @pl.when(nchunks >= 2)
+    @pl.when(neff >= 2)
     def _():
         put_dma(1, 1).wait()
 
@@ -431,29 +440,44 @@ def _bwd_kernel(cfg: PallasConfig, off_ref, nch_ref, inst_ref, g_ref,
 # ---------------------------------------------------------------------------
 
 
-def _fwd_call(cfg: PallasConfig, inst, tile_offset, tile_nchunks):
+def _fwd_call(cfg: PallasConfig, inst, tile_offset, tile_nchunks,
+              save_ckpt: bool):
     num_tiles = cfg.grid_x * cfg.grid_y
+    scratch = [
+        pltpu.VMEM((2, FEAT, CHUNK), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    out_shape = jax.ShapeDtypeStruct((num_tiles, 8, NPIX), jnp.float32)
+    out_specs = pl.BlockSpec(
+        (1, 8, NPIX), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    if save_ckpt:
+        scratch = [
+            pltpu.VMEM((2, FEAT, CHUNK), jnp.float32),
+            pltpu.VMEM((cfg.max_chunks_per_tile, NPIX), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+        ]
+        out_shape = (out_shape, jax.ShapeDtypeStruct(
+            (num_tiles, cfg.max_chunks_per_tile, NPIX), jnp.float32))
+        out_specs = (out_specs, pl.BlockSpec(memory_space=pltpu.HBM))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
-        out_specs=pl.BlockSpec(
-            (1, 8, NPIX), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, FEAT, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        out_specs=out_specs,
+        scratch_shapes=scratch,
     )
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, cfg),
+        functools.partial(_fwd_kernel, cfg, save_ckpt),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_tiles, 8, NPIX), jnp.float32),
+        out_shape=out_shape,
         interpret=cfg.interpret,
     )(tile_offset, tile_nchunks, inst)
 
 
-def _bwd_call(cfg: PallasConfig, inst, tile_offset, tile_nchunks, g_tiles):
+def _bwd_call(cfg: PallasConfig, inst, tile_offset, neff, g_tiles, fwd_tiles,
+              ckpt):
     num_tiles = cfg.grid_x * cfg.grid_y
     pad = inst.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -464,15 +488,19 @@ def _bwd_call(cfg: PallasConfig, inst, tile_offset, tile_nchunks, g_tiles):
             pl.BlockSpec(
                 (1, 8, NPIX), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
             ),
+            pl.BlockSpec(
+                (1, 8, NPIX), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
             pltpu.VMEM((2, FEAT, CHUNK), jnp.float32),
             pltpu.VMEM((cfg.max_chunks_per_tile, NPIX), jnp.float32),
-            pltpu.VMEM((cfg.max_chunks_per_tile, NPIX), jnp.float32),
             pltpu.VMEM((2, FEAT, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
         ],
     )
     return pl.pallas_call(
@@ -480,28 +508,36 @@ def _bwd_call(cfg: PallasConfig, inst, tile_offset, tile_nchunks, g_tiles):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((FEAT, pad), jnp.float32),
         interpret=cfg.interpret,
-    )(tile_offset, tile_nchunks, inst, g_tiles)
+    )(tile_offset, neff, inst, g_tiles, fwd_tiles, ckpt)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _render_tiles(cfg: PallasConfig, inst, tile_offset, tile_nchunks):
-    return _fwd_call(cfg, inst, tile_offset, tile_nchunks)
+    return _fwd_call(cfg, inst, tile_offset, tile_nchunks, save_ckpt=False)
 
 
 def _render_tiles_fwd(cfg, inst, tile_offset, tile_nchunks):
-    out = _fwd_call(cfg, inst, tile_offset, tile_nchunks)
-    return out, (inst, tile_offset, tile_nchunks)
+    out, ckpt = _fwd_call(cfg, inst, tile_offset, tile_nchunks,
+                          save_ckpt=True)
+    return out, (inst, tile_offset, out, ckpt)
 
 
 def _render_tiles_bwd(cfg, res, g_tiles):
-    inst, tile_offset, tile_nchunks = res
-    d_inst = _bwd_call(cfg, inst, tile_offset, tile_nchunks, g_tiles)
-    # slots beyond the last tile's run were never written by the kernel
-    used = tile_offset[-1] + CHUNK * tile_nchunks[-1]
-    slot = jnp.arange(d_inst.shape[1], dtype=jnp.int32)[None, :]
-    d_inst = jnp.where(slot < used, d_inst, 0.0)
+    inst, tile_offset, out, ckpt = res
+    neff = out[:, 7, 0].astype(jnp.int32)
+    d_inst = _bwd_call(cfg, inst, tile_offset, neff, g_tiles, out, ckpt)
+    # The kernel writes grads only for chunks < neff (everything later is
+    # fully occluded => zero gradient) — zero the never-written slots. The
+    # per-tile bound off[t] + CHUNK*neff[t] is non-decreasing in t (it is
+    # <= off[t+1]), so it expands with a start-scatter + running max.
+    pad = inst.shape[1]
+    bound_marks = jnp.zeros((pad,), jnp.int32).at[tile_offset].max(
+        tile_offset + CHUNK * neff, mode="drop")
+    bound = jax.lax.cummax(bound_marks)
+    slot = jnp.arange(pad, dtype=jnp.int32)
+    d_inst = jnp.where((slot < bound)[None, :], d_inst, 0.0)
     zero_i = np.zeros(tile_offset.shape, jax.dtypes.float0)
-    return d_inst, zero_i, np.zeros(tile_nchunks.shape, jax.dtypes.float0)
+    return d_inst, zero_i, np.zeros((tile_offset.shape[0],), jax.dtypes.float0)
 
 
 _render_tiles.defvjp(_render_tiles_fwd, _render_tiles_bwd)
@@ -512,12 +548,36 @@ _render_tiles.defvjp(_render_tiles_fwd, _render_tiles_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _pack_features(pre: PreprocessedGaussians, gauss_id, y_shift=0.0):
+@jax.custom_vjp
+def _permute_cols(table, dorder, inv_dorder):
+    """table[:, dorder] with a GATHER-based VJP: the cotangent is
+    g[:, inv_dorder] (a permutation's adjoint is the inverse permutation),
+    avoiding XLA's default scatter-add lowering."""
+    return table[:, dorder]
+
+
+def _permute_cols_fwd(table, dorder, inv_dorder):
+    return table[:, dorder], (inv_dorder,)
+
+
+def _permute_cols_bwd(res, g):
+    (inv,) = res
+    return (g[:, inv], np.zeros(inv.shape, jax.dtypes.float0),
+            np.zeros(inv.shape, jax.dtypes.float0))
+
+
+_permute_cols.defvjp(_permute_cols_fwd, _permute_cols_bwd)
+
+
+def _pack_features(pre: PreprocessedGaussians, gauss_rank, dorder,
+                   y_shift=0.0):
     """Gather per-gaussian screen features into the feature-major
     [FEAT, PAD] instance array (differentiable; padding slots get opacity
-    0). Feature-major keeps the kernel's DMA chunk slices lane-aligned.
-    y_shift moves mean2d.y into band-local pixel coordinates."""
-    safe = jnp.maximum(gauss_id, 0)
+    0). Instance ids are in DEPTH-RANK space (binning.py), so the small
+    [10, P] table is permuted into rank order first (two cheap small-table
+    gathers instead of one expensive PAD-wide un-permute). Feature-major
+    keeps the kernel's DMA chunk slices lane-aligned. y_shift moves mean2d.y
+    into band-local pixel coordinates."""
     per_gauss = jnp.stack(
         [
             pre.mean2d[:, 0],
@@ -532,9 +592,15 @@ def _pack_features(pre: PreprocessedGaussians, gauss_id, y_shift=0.0):
             pre.depth,
         ],
         axis=0,
-    )  # [10, P]
-    inst = per_gauss[:, safe]  # [10, PAD]
-    dead = (gauss_id < 0)[None, :]
+    )  # [10, P] original order
+    n = dorder.shape[0]
+    inv_dorder = jnp.zeros((n,), jnp.int32).at[dorder].set(
+        jnp.arange(n, dtype=jnp.int32))
+    table = _permute_cols(per_gauss, dorder, inv_dorder)  # [10, P] rank order
+
+    safe = jnp.maximum(gauss_rank, 0)
+    inst = table[:, safe]  # [10, PAD]
+    dead = (gauss_rank < 0)[None, :]
     inst = jnp.where(dead & (jnp.arange(10)[:, None] == _FO), 0.0, inst)
     pad_rows = jnp.zeros((FEAT - 10, inst.shape[1]), inst.dtype)
     return jnp.concatenate([inst, pad_rows], axis=0)
@@ -558,6 +624,7 @@ def rasterize_pallas(
     tile_band: tuple[int, int] | None = None,
     band_rows: int | None = None,
     band_start=None,
+    tile_cull: bool = True,
 ) -> RenderOutput:
     """Tile-binned Pallas rasterization, API-compatible with rasterize_naive.
 
@@ -600,9 +667,10 @@ def rasterize_pallas(
     binned = bin_instances(
         pre, W, H, max_instances, max_chunks_per_tile,
         band_start=y0 if banded else None,
-        band_rows=n_rows if banded else None)
+        band_rows=n_rows if banded else None,
+        tile_cull=tile_cull)
     y_shift = (y0 * TILE).astype(jnp.float32) if dynamic_band else float(y0 * TILE)
-    inst = _pack_features(pre, binned.gauss_id,
+    inst = _pack_features(pre, binned.gauss_rank, binned.dorder,
                           y_shift=y_shift if banded else 0.0)
 
     tiles = _render_tiles(cfg, inst, binned.tile_offset, binned.tile_nchunks)

@@ -58,14 +58,62 @@ def tile_grid(width: int, height: int) -> tuple[int, int]:
     return (width + TILE - 1) // TILE, (height + TILE - 1) // TILE
 
 
-def get_rect(mean2d, radius, grid_x: int, grid_y: int):
-    """auxiliary.h:39-45 — trunc-toward-zero then clamp to [0, grid]."""
-    lo = jnp.trunc((mean2d - radius[..., None]) / TILE)
-    hi = jnp.trunc((mean2d + radius[..., None] + TILE - 1) / TILE)
+def get_rect(mean2d, radius_xy, grid_x: int, grid_y: int):
+    """auxiliary.h:39-45 — trunc-toward-zero then clamp to [0, grid].
+
+    radius_xy: [..., 2] per-axis half-extents in pixels (the reference passes
+    the same scalar radius for both axes; the tight-rect path passes the
+    ellipse AABB half-extents — see preprocess).
+    """
+    lo = jnp.trunc((mean2d - radius_xy) / TILE)
+    hi = jnp.trunc((mean2d + radius_xy + TILE - 1) / TILE)
     limits = jnp.asarray([grid_x, grid_y], dtype=jnp.int32)
     rect_min = jnp.clip(lo.astype(jnp.int32), 0, limits)
     rect_max = jnp.clip(hi.astype(jnp.int32), 0, limits)
     return rect_min, rect_max
+
+
+def tile_min_power(mx, my, ca, cb, cc, tile_x, tile_y):
+    """Exact minimum of q(d) = 0.5(a dx² + c dy²) + b dx dy over a tile's
+    pixel box [16tx, 16tx+15] × [16ty, 16ty+15] (continuous hull of the
+    tile's pixel centers; conservative for the integer pixel grid).
+
+    q = -power of the splat kernel (forward.cu:355), so a tile with
+    opacity·exp(-q_min) < 1/255 contains NO pixel that passes the render
+    kernel's alpha test (forward.cu:374) — dropping the (gaussian, tile)
+    instance is lossless for C/D/S and all gradients. All args broadcast.
+    """
+    x0 = tile_x * TILE - mx
+    x1 = x0 + (TILE - 1)
+    y0 = tile_y * TILE - my
+    y1 = y0 + (TILE - 1)
+    inside = (x0 <= 0) & (0 <= x1) & (y0 <= 0) & (0 <= y1)
+    sa = jnp.maximum(ca, 1e-12)
+    sc = jnp.maximum(cc, 1e-12)
+
+    def q(dx, dy):
+        return 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+
+    # min over each of the 4 box edges: 1-D quadratic, stationary point
+    # clamped into the edge segment
+    qy0 = q(x0, jnp.clip(-cb * x0 / sc, y0, y1))
+    qy1 = q(x1, jnp.clip(-cb * x1 / sc, y0, y1))
+    qx0 = q(jnp.clip(-cb * y0 / sa, x0, x1), y0)
+    qx1 = q(jnp.clip(-cb * y1 / sa, x0, x1), y1)
+    qmin = jnp.minimum(jnp.minimum(qy0, qy1), jnp.minimum(qx0, qx1))
+    return jnp.where(inside, 0.0, jnp.maximum(qmin, 0.0))
+
+
+# keep-threshold for the tile cull: alpha >= 1/255 with a small conservative
+# margin so f32 rounding differences between the cull's bound and the render
+# kernel's own alpha evaluation can never drop a passing pixel
+TILE_CULL_EPS = 1.0 / 255.0 * (1.0 - 1e-5)
+
+
+def tile_accepts(mx, my, ca, cb, cc, opacity, tile_x, tile_y):
+    """True if any pixel of the tile can pass the alpha >= 1/255 test."""
+    qmin = tile_min_power(mx, my, ca, cb, cc, tile_x, tile_y)
+    return opacity * jnp.exp(-qmin) >= TILE_CULL_EPS
 
 
 def preprocess(
@@ -112,7 +160,26 @@ def preprocess(
     conic, radius, det = cov_ops.conic_and_radius(cov2d)
     det_ok = det != 0.0
 
-    rect_min, rect_max = get_rect(mean2d, radius, grid_x, grid_y)
+    # Tight LOSSLESS binning rect. The reference bins a square of half-side
+    # radius = ceil(3·sqrt(λmax)) (forward.cu:261-263, getRect auxiliary.h:39)
+    # but its render kernel only composites pixels with alpha = op·G >= 1/255
+    # (forward.cu:374), i.e. inside the Mahalanobis ellipse of radius
+    # r* = sqrt(2·ln(255·op)). Visible contributions therefore live in
+    # square(3σ) ∩ ellipse(r*), whose axis-aligned hull has half-extents
+    # hx = min(radius, r*·sqrt(Σxx)), hy = min(radius, r*·sqrt(Σyy))
+    # (the AABB of the level set dᵀΣ⁻¹d = r*² is ±r*·sqrt(Σ_ii)). Binning
+    # this rect instead of the square leaves C/D/S images and gradients
+    # unchanged (up to f32 re-association in the tiled kernel's chunk scans)
+    # while touching far fewer tiles for anisotropic or low-opacity splats. Reported `radius` (radii output) keeps reference
+    # semantics. n_contrib list ranks shift (documented deviation).
+    op = opacities.reshape(opacities.shape[0])
+    rstar = jnp.sqrt(jnp.maximum(
+        2.0 * jnp.log(jnp.maximum(255.0 * op, 1e-12)), 0.0)) * (1.0 + 1e-5)
+    hx = jnp.minimum(radius, rstar * jnp.sqrt(jnp.maximum(cov2d[..., 0], 0.0)))
+    hy = jnp.minimum(radius, rstar * jnp.sqrt(jnp.maximum(cov2d[..., 2], 0.0)))
+    half_extents = jax.lax.stop_gradient(jnp.stack([hx, hy], axis=-1))
+
+    rect_min, rect_max = get_rect(mean2d, half_extents, grid_x, grid_y)
     tiles = (rect_max[..., 0] - rect_min[..., 0]) * (rect_max[..., 1] - rect_min[..., 1])
     rect_ok = tiles > 0
 
@@ -197,8 +264,14 @@ def _composite_pixels(pix_xy, tile_xy, pre_sorted, bg_color):
 
     # n_contrib counts positions within the pixel's TILE list (the reference's
     # `contributor` counter, forward.cu:333,359): rank among in-rect valid
-    # gaussians, not among all sorted gaussians.
-    in_list = pre_sorted.valid[None, :] & in_rect
+    # gaussians that survive the (lossless) tile cull — the same list the
+    # tiled rasterizer builds (binning.py tile_cull).
+    in_list = pre_sorted.valid[None, :] & in_rect & tile_accepts(
+        pre_sorted.mean2d[None, :, 0], pre_sorted.mean2d[None, :, 1],
+        pre_sorted.conic[None, :, 0], pre_sorted.conic[None, :, 1],
+        pre_sorted.conic[None, :, 2], pre_sorted.opacity[None, :],
+        tile_xy[:, None, 0], tile_xy[:, None, 1],
+    )
     rank = jnp.cumsum(in_list.astype(jnp.int32), axis=1)
     n_contrib = jnp.max(jnp.where(contrib, rank, 0), axis=1)
 

@@ -34,7 +34,8 @@ def test_binning_matches_bruteforce(rng):
     cam = _cam()
     means, scales, quats, opac, shs = _scene(n, rng)
     pre = preprocess(means, scales, quats, opac, shs, cam)
-    binned = bin_instances(pre, cam.width, cam.height, max_instances=4096)
+    binned = bin_instances(pre, cam.width, cam.height, max_instances=4096,
+                           tile_cull=False)
 
     gx, gy = tile_grid(cam.width, cam.height)
     pre_np = jax.tree.map(np.asarray, pre)
@@ -50,16 +51,66 @@ def test_binning_matches_bruteforce(rng):
     for t in expected:
         expected[t].sort(key=lambda g: (pre_np.depth[g], g))
 
-    gid = np.asarray(binned.gauss_id)
+    dorder = np.asarray(binned.dorder)
+    rank = np.asarray(binned.gauss_rank)
     off = np.asarray(binned.tile_offset)
     nch = np.asarray(binned.tile_nchunks)
     assert int(binned.overflow) == 0
     for t in range(gx * gy):
-        run = gid[off[t] : off[t] + CHUNK * nch[t]]
-        real = run[run >= 0].tolist()
+        run = rank[off[t] : off[t] + CHUNK * nch[t]]
+        real = dorder[run[run >= 0]].tolist()
         assert real == expected[t], f"tile {t}"
         # padding slots are all trailing -1s
         assert np.all(run[len(real):] == -1)
+
+
+def test_tile_cull_is_lossless(rng):
+    """The per-(gaussian, tile) ellipse cull must not change images or
+    gradients — it may only drop instances no pixel can see (alpha < 1/255,
+    forward.cu:374). Anisotropic, low-opacity scene to exercise it hard."""
+    n = 150
+    cam = _cam()
+    means = jnp.asarray(rng.normal(0, 1.0, (n, 3)) + [0, 0, 5.0], jnp.float32)
+    scales = jnp.asarray(
+        np.stack([rng.uniform(0.002, 0.01, n), rng.uniform(0.05, 0.15, n),
+                  rng.uniform(0.002, 0.15, n)], 1), jnp.float32)
+    q = rng.normal(size=(n, 4))
+    quats = jnp.asarray(q / np.linalg.norm(q, axis=1, keepdims=True),
+                        jnp.float32)
+    opac = jnp.asarray(rng.uniform(0.05, 0.95, (n,)), jnp.float32)
+    shs = jnp.asarray(rng.uniform(-0.3, 0.8, (n, 1, 3)), jnp.float32)
+    bg = jnp.asarray([0.1, 0.6, 0.9])
+    gt = jnp.asarray(rng.uniform(size=(3, cam.height, cam.width)), jnp.float32)
+
+    pre = preprocess(means, scales, quats, opac, shs, cam)
+    b_cull = bin_instances(pre, cam.width, cam.height, 1 << 14)
+    b_full = bin_instances(pre, cam.width, cam.height, 1 << 14,
+                           tile_cull=False)
+    kept = int((np.asarray(b_cull.gauss_rank) >= 0).sum())
+    full = int((np.asarray(b_full.gauss_rank) >= 0).sum())
+    assert kept < full  # the cull actually dropped something
+
+    def loss(cull):
+        def f(means, scales, quats, opac, shs):
+            out = rasterize_pallas(means, scales, quats, opac, shs, cam,
+                                   bg_color=bg, max_instances=1 << 14,
+                                   interpret=True, tile_cull=cull)
+            return (jnp.sum((out.color - gt) ** 2) + jnp.sum(out.acc)
+                    + jnp.sum(out.final_T))
+        return f
+
+    v1, g1 = jax.value_and_grad(loss(True), argnums=(0, 3))(
+        means, scales, quats, opac, shs)
+    v2, g2 = jax.value_and_grad(loss(False), argnums=(0, 3))(
+        means, scales, quats, opac, shs)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    # grads agree up to f32 re-association: dropping instances shifts chunk
+    # boundaries, regrouping the kernel's scans (no REAL contribution may
+    # appear/disappear — that would show up orders of magnitude larger)
+    for a, b in zip(g1, g2):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() + 1e-8
+        np.testing.assert_allclose(b, a, atol=1e-5 * scale, rtol=1e-4)
 
 
 @pytest.mark.parametrize("seed,n", [(0, 50), (1, 200)])

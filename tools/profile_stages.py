@@ -1,0 +1,123 @@
+"""Stage-by-stage profile of the 1080p rasterizer bench pipeline.
+
+Times cumulative prefixes of the pipeline (each jitted separately) so the
+per-stage cost is the difference between consecutive rows. Uses slope-based
+device timing (tools/tputime.py) because block_until_ready does not
+synchronize on the axon tunnel. Run on TPU.
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from tputime import report
+
+    from gslivm_tpu.models.cameras import make_camera
+    from gslivm_tpu.ops import binning as B
+    from gslivm_tpu.ops import rasterize_pallas as RP
+    from gslivm_tpu.ops.rasterize_reference import preprocess, tile_grid
+
+    WIDTH, HEIGHT = 1920, 1080
+    N = 200_000
+    MAXI = 1 << 21
+
+    rng = np.random.default_rng(0)
+    means = jnp.asarray(rng.normal(0, 2.0, (N, 3)) + [0, 0, 6.0], jnp.float32)
+    scales = jnp.asarray(rng.uniform(0.01, 0.05, (N, 3)), jnp.float32)
+    q = rng.normal(size=(N, 4))
+    quats = jnp.asarray(q / np.linalg.norm(q, axis=1, keepdims=True),
+                        jnp.float32)
+    opac = jnp.asarray(rng.uniform(0.3, 0.9, (N,)), jnp.float32)
+    shs = jnp.asarray(rng.uniform(-0.3, 0.8, (N, 1, 3)), jnp.float32)
+    cam = make_camera(np.eye(3), np.zeros(3), WIDTH, HEIGHT, fovx=1.2,
+                      fovy=0.8)
+    gt = jnp.zeros((3, HEIGHT, WIDTH), jnp.float32)
+
+    grid_x, grid_y = tile_grid(WIDTH, HEIGHT)
+    cfg = RP.PallasConfig(grid_x=grid_x, grid_y=grid_y,
+                          max_chunks_per_tile=64, interpret=False)
+
+    # ---- instance statistics (sizing max_instances) ----------------------
+    pre0 = preprocess(means, scales, quats, opac, shs, cam)
+    b = B.bin_instances(pre0, WIDTH, HEIGHT, MAXI, 64)
+    kept = int(jnp.sum(b.gauss_rank >= 0))
+    print(f"expansion total (rect area): {int(b.num_instances)}")
+    print(f"kept after cull+cap        : {kept}")
+    print(f"overflow                   : {int(b.overflow)}")
+    print(f"padded capacity            : {b.gauss_rank.shape[0]}")
+    nch = np.asarray(b.tile_nchunks)
+    print(f"chunks: total {nch.sum()}, max/tile {nch.max()}, "
+          f"mean/tile {nch.mean():.2f}")
+
+    def s_pre(ms, sc, qu, op, sh):
+        return preprocess(ms, sc, qu, op, sh, cam)
+
+    def s_bin(ms, sc, qu, op, sh):
+        pre = preprocess(ms, sc, qu, op, sh, cam)
+        return B.bin_instances(pre, WIDTH, HEIGHT, MAXI, 64)
+
+    def s_pack(ms, sc, qu, op, sh):
+        pre = preprocess(ms, sc, qu, op, sh, cam)
+        binned = B.bin_instances(pre, WIDTH, HEIGHT, MAXI, 64)
+        return RP._pack_features(pre, binned.gauss_rank, binned.dorder)
+
+    def s_fwd(ms, sc, qu, op, sh):
+        pre = preprocess(ms, sc, qu, op, sh, cam)
+        binned = B.bin_instances(pre, WIDTH, HEIGHT, MAXI, 64)
+        inst = RP._pack_features(pre, binned.gauss_rank, binned.dorder)
+        return RP._render_tiles(cfg, inst, binned.tile_offset,
+                                binned.tile_nchunks)
+
+    def s_fwd_ckpt(ms, sc, qu, op, sh):
+        pre = preprocess(ms, sc, qu, op, sh, cam)
+        binned = B.bin_instances(pre, WIDTH, HEIGHT, MAXI, 64)
+        inst = RP._pack_features(pre, binned.gauss_rank, binned.dorder)
+        return RP._fwd_call(cfg, inst, binned.tile_offset,
+                            binned.tile_nchunks, save_ckpt=True)
+
+    def s_full_fwd(ms, sc, qu, op, sh):
+        out = RP.rasterize_pallas(ms, sc, qu, op, sh, cam,
+                                  max_instances=MAXI, interpret=False)
+        return jnp.sum((out.color - gt) ** 2) + 0.1 * jnp.sum(out.acc)
+
+    grad_full = jax.grad(s_full_fwd, argnums=(0, 1, 2, 3, 4))
+
+    def s_kernel_loss(ms, sc, qu, op, sh):
+        pre = preprocess(ms, sc, qu, op, sh, cam)
+        binned = B.bin_instances(pre, WIDTH, HEIGHT, MAXI, 64)
+        inst = RP._pack_features(pre, binned.gauss_rank, binned.dorder)
+        tiles = RP._render_tiles(cfg, inst, binned.tile_offset,
+                                 binned.tile_nchunks)
+        return jnp.sum(tiles[:, :5, :] ** 2)
+
+    grad_kernel = jax.grad(s_kernel_loss, argnums=(0, 1, 2, 3, 4))
+
+    args = (means, scales, quats, opac, shs)
+    report("preprocess", s_pre, *args)
+    report("+ binning", s_bin, *args)
+    report("+ feature pack", s_pack, *args)
+    report("+ fwd kernel (plain)", s_fwd, *args)
+    report("+ fwd kernel (ckpt)", s_fwd_ckpt, *args)
+    report("full fwd (loss)", s_full_fwd, *args)
+    report("fwd+bwd kernel-only grads", grad_kernel, *args)
+    report("FULL fwd+bwd", grad_full, *args)
+
+
+if __name__ == "__main__":
+    import jax
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                     ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    main()
