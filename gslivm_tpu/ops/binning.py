@@ -75,14 +75,20 @@ def bin_instances(
     band_start=None,
     band_rows: int | None = None,
     tile_cull: bool = True,
+    capacity_slack: float = 1.0,
 ) -> BinnedInstances:
     """Expand gaussians into depth-sorted, tile-aligned instance slots.
 
     max_instances bounds the pre-sort expansion; max_chunks_per_tile bounds
     the per-tile list (front-most survive — the sort puts the nearest
     instances first, so the cap drops the most-occluded tail). The padded
-    output is `max_instances + num_tiles * (CHUNK - 1)` rounded up, a static
-    shape.
+    output is `max_instances + capacity_slack * num_tiles * (CHUNK - 1)`
+    rounded up, a static shape: slack 1.0 is the lossless worst case for
+    the CHUNK alignment padding; smaller slack shrinks every downstream
+    per-instance array (feature pack, kernel grads, gradient reduction all
+    scale with this capacity) and converts a too-small budget into counted
+    overflow (rear tiles lose their most-occluded instances first), never
+    into OOB access.
 
     band_start/band_rows restrict binning to tile ROWS [band_start,
     band_start + band_rows) — the unit of pixel-axis sharding: each device
@@ -140,36 +146,41 @@ def bin_instances(
     marks = jnp.zeros((max_instances,), jnp.int32).at[offsets].max(
         jnp.arange(num_gauss, dtype=jnp.int32), mode="drop")
     gid = jax.lax.cummax(marks)
-    off_marks = jnp.zeros((max_instances,), jnp.int32).at[offsets].max(
-        offsets, mode="drop")
-    off_slot = jax.lax.cummax(off_marks)
     slot_valid = slots < jnp.minimum(total, max_instances)
 
     # 3) slot -> tile within the gaussian's rect, row-major like the CUDA
-    #    loop (duplicateWithKeys, rasterizer_impl.cu:64-101). Rect metadata
-    #    is fetched with ONE 2-D gather from a small (3, P) table — ~6x
-    #    cheaper on TPU than 1-D gathers of the same element count.
-    k = slots - off_slot
+    #    loop (duplicateWithKeys, rasterizer_impl.cu:64-101). ALL per-slot
+    #    metadata (rect, run offset, and the cull's splat params) comes from
+    #    ONE 2-D gather of a small (rows, P) rank-space table — gather cost
+    #    on TPU scales with the index count, not the row count, so merging
+    #    the gathers (and folding the run-offset expansion into a table row)
+    #    is ~2x cheaper than separate fetches. Int rows ride bitcast as f32.
     rect_w = jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 1)
-    rmeta = jnp.stack([rect_min[:, 0], rect_min[:, 1], rect_w], axis=0)
-    r = rmeta[:, gid]
-    r_x, r_y, r_w = r[0], r[1], r[2]
+    int_rows = [rect_min[:, 0], rect_min[:, 1], rect_w, offsets]
+    meta_rows = [jax.lax.bitcast_convert_type(v.astype(jnp.int32), jnp.float32)
+                 for v in int_rows]
+    if tile_cull:
+        mean2d = jax.lax.stop_gradient(pre.mean2d)
+        conic = jax.lax.stop_gradient(pre.conic)
+        op = jax.lax.stop_gradient(jnp.where(pre.valid, pre.opacity, 0.0))
+        ftab = jnp.stack(
+            [mean2d[:, 0], mean2d[:, 1],
+             conic[:, 0], conic[:, 1], conic[:, 2], op], axis=0
+        )[:, dorder]
+        meta = jnp.concatenate([jnp.stack(meta_rows, axis=0), ftab], axis=0)
+    else:
+        meta = jnp.stack(meta_rows, axis=0)
+    m = meta[:, gid]
+    r_x, r_y, r_w, off_slot = (
+        jax.lax.bitcast_convert_type(m[i], jnp.int32) for i in range(4))
+    k = slots - off_slot
     ty = r_y + k // r_w  # band-relative when banded
     tx = r_x + k % r_w
     tile_id = ty * grid_x + tx
 
     if tile_cull:
-        # Per-instance lossless ellipse cull (module doc #4). Per-slot splat
-        # params come from one (6, P) small-table gather in rank space.
-        mean2d = jax.lax.stop_gradient(pre.mean2d)
-        conic = jax.lax.stop_gradient(pre.conic)
-        op = jax.lax.stop_gradient(
-            jnp.where(pre.valid, pre.opacity, 0.0))
-        ftab = jnp.stack(
-            [mean2d[:, 0], mean2d[:, 1],
-             conic[:, 0], conic[:, 1], conic[:, 2], op], axis=0
-        )[:, dorder]
-        f = ftab[:, gid]
+        # Per-instance lossless ellipse cull (module doc #4).
+        f = m[4:]
         ty_abs = ty + y0 if banded else ty
         qmin = tile_min_power(f[0], f[1], f[2], f[3], f[4], tx, ty_abs)
         keep = f[5] * jnp.exp(-qmin) >= TILE_CULL_EPS
@@ -208,17 +219,24 @@ def bin_instances(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(cnt_padded)[:-1].astype(jnp.int32)]
     )
 
-    padded_size = _padded_capacity(max_instances, num_tiles)
+    padded_size = _padded_capacity(max_instances, num_tiles, capacity_slack)
+
+    # Clip per-tile budgets to the static capacity (no-op at slack 1.0):
+    # tile_offset and padded_size are CHUNK multiples, so `avail` is too,
+    # and every DMA window stays inside the padded array.
+    avail = jnp.clip(padded_size - tile_offset, 0, cnt_padded)
+    cnt_allowed = jnp.minimum(cnt_capped, avail)
 
     # 6) Move sorted instances into the aligned layout: dst = s +
-    #    delta[tile_sorted[s]], bounded by tile_offset + cnt_capped. Both
-    #    per-tile quantities are NON-DECREASING in t (delta grows by
-    #    cnt_padded - cnt >= 0; bound grows by cnt_padded - cnt_capped +
-    #    next cnt_capped >= 0), and tile_sorted is sorted — so instead of a
-    #    2M-wide gather (~23 ms: TPU random access) each expands with a
-    #    start-position scatter + running max (~5 ms).
+    #    delta[tile_sorted[s]]; slot s is kept iff s < start + cnt_allowed
+    #    (s - start is its rank within the tile's run). Both per-tile
+    #    quantities are NON-DECREASING in t (delta grows by cnt_padded -
+    #    cnt >= 0; start + cnt_allowed grows because start[t+1] = start[t] +
+    #    cnt[t] >= start[t] + cnt_allowed[t]), and tile_sorted is sorted —
+    #    so instead of a 2M-wide gather (~23 ms: TPU random access) each
+    #    expands with a start-position scatter + running max (~5 ms).
     delta_t = tile_offset - start
-    bound_t = tile_offset + cnt_capped
+    keep_end_t = start + cnt_allowed
     neg = jnp.int32(-(1 << 30))
 
     def expand_monotone(vals_t):
@@ -227,9 +245,9 @@ def bin_instances(
         return jax.lax.cummax(marks)
 
     delta_s = expand_monotone(delta_t)
-    bound_s = expand_monotone(bound_t)
+    keep_end_s = expand_monotone(keep_end_t)
     dst = slots + delta_s
-    keep = (tile_sorted < num_tiles) & (dst < bound_s)
+    keep = (tile_sorted < num_tiles) & (slots < keep_end_s)
     dst = jnp.where(keep, dst, padded_size)  # dropped -> discard slot
     gauss_rank = jnp.full((padded_size + 1,), -1, dtype=jnp.int32)
     gauss_rank = gauss_rank.at[dst].set(
@@ -238,19 +256,24 @@ def bin_instances(
 
     # NOTE: ids stay in rank space — no PAD-wide un-permute (module doc).
 
-    overflow = jnp.maximum(total - max_instances, 0) + jnp.sum(cnt - cnt_capped)
+    overflow = jnp.maximum(total - max_instances, 0) + jnp.sum(cnt - cnt_allowed)
 
     return BinnedInstances(
         gauss_rank=gauss_rank,
         dorder=dorder,
-        tile_nchunks=cnt_padded // CHUNK,
+        tile_nchunks=(cnt_allowed + CHUNK - 1) // CHUNK,
         tile_offset=tile_offset,
         num_instances=total,
         overflow=overflow,
     )
 
 
-def _padded_capacity(max_instances: int, num_tiles: int) -> int:
-    """Static output capacity: worst-case CHUNK-alignment padding."""
-    cap = max_instances + num_tiles * (CHUNK - 1)
+def _padded_capacity(max_instances: int, num_tiles: int,
+                     slack: float = 1.0) -> int:
+    """Static output capacity: worst-case CHUNK-alignment padding, scaled
+    by `slack` (average tiles waste ~CHUNK/2 alignment slots, so slack 0.6
+    is usually lossless in practice while shrinking every downstream
+    per-instance array)."""
+    worst = max_instances + num_tiles * (CHUNK - 1)
+    cap = min(max_instances + int(slack * num_tiles * (CHUNK - 1)), worst)
     return ((cap + CHUNK - 1) // CHUNK) * CHUNK

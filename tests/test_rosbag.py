@@ -228,7 +228,9 @@ icp:
         [sys.executable, "examples/run_bag.py", bag,
          "--dataset", str(ds), "--out", str(out), "--cpu",
          "--backend", "naive", "--train-iters-per-frame", "2"],
-        capture_output=True, text=True, timeout=480,
+        # generous: the box has 2 CPUs and a cold persistent-compile cache
+        # costs several minutes of XLA:CPU compiles on first run
+        capture_output=True, text=True, timeout=1500,
         env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
     )
     assert res.returncode == 0, res.stderr[-2000:]

@@ -10,27 +10,25 @@ Run on the real TPU chip:  python tools/microbench_scatter.py
 """
 from __future__ import annotations
 
-import time
+import os
+import sys
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from tputime import device_time_ms  # noqa: E402
 
 P = 200_000          # gaussians
 PAD = 1 << 21        # padded instances (2.1M)
 NF = 10              # grad / feature columns
 
 
-def timeit(fn, *args, iters=5, warmup=2):
-    fn_j = jax.jit(fn)
-    for _ in range(warmup):
-        out = fn_j(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn_j(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters * 1e3
+def timeit(fn, *args):
+    # slope-based device timing — block_until_ready does not synchronize on
+    # the axon tunnel (see tools/tputime.py)
+    return device_time_ms(fn, *args)
 
 
 def main():
@@ -100,6 +98,66 @@ def main():
         lambda g, i: jnp.zeros((P,), jnp.float32).at[i].add(g),
         grads_im[:, 0], gid)
 
+    # A9: presort-order reduction candidate — gather instance grads into
+    # pre-sort (gaussian-contiguous) order, cumsum along the instance axis,
+    # per-gaussian boundary differences. Candidate VJP for _pack_features.
+    MAXI = PAD
+    presort_dst = jnp.asarray(rng.permutation(PAD), jnp.int32)[:MAXI]
+    seg_off = jnp.asarray(
+        np.sort(rng.integers(0, MAXI, size=P)), jnp.int32)
+    seg_end = jnp.concatenate([seg_off[1:], jnp.asarray([MAXI], jnp.int32)])
+
+    def a9(g, dst, off, end):
+        g_ext = jnp.concatenate([g, jnp.zeros((NF, 1), g.dtype)], axis=1)
+        gp = g_ext[:, dst]                      # [NF, MAXI] gather
+        cs = jnp.cumsum(gp, axis=1)             # [NF, MAXI]
+        hi = cs[:, jnp.maximum(end - 1, 0)]
+        lo = jnp.where((off > 0)[None, :], cs[:, jnp.maximum(off - 1, 0)], 0.0)
+        return jnp.where((end > off)[None, :], hi - lo, 0.0)
+    res["A9 presort gather+cumsum+boundary (candidate)"] = timeit(
+        a9, grads_fm, presort_dst, seg_off, seg_end)
+
+    # A10: the cumsum alone (is XLA's [NF, 2M] cumsum fast on TPU?)
+    res["A10 cumsum [NF,2M] axis=1"] = timeit(
+        lambda g: jnp.cumsum(g, axis=1), grads_fm)
+
+    # A11: WINNING CANDIDATE — sort grads by rank key (payload sort is ~1 ms
+    # per array), then contiguous segment reduction: cumsum + boundary diff.
+    def a11(g, rank):
+        key = jnp.where(rank < 0, P, rank)
+        srt = jax.lax.sort((key, *[g[r] for r in range(NF)]), num_keys=1,
+                           is_stable=False)
+        key_s = srt[0]
+        gs = jnp.stack(srt[1:], axis=0)            # [NF, PAD]
+        cs = jnp.cumsum(gs, axis=1)
+        ids = jnp.arange(P, dtype=jnp.int32)
+        starts = jnp.searchsorted(key_s, ids, side="left").astype(jnp.int32)
+        ends = jnp.searchsorted(key_s, ids, side="right").astype(jnp.int32)
+        hi = cs[:, jnp.maximum(ends - 1, 0)]
+        lo = jnp.where((starts > 0)[None, :],
+                       cs[:, jnp.maximum(starts - 1, 0)], 0.0)
+        return jnp.where((ends > starts)[None, :], hi - lo, 0.0)
+    rank_ids = jnp.asarray(
+        np.where(rng.random(PAD) < 0.25, -1,
+                 rng.integers(0, P, size=PAD)), jnp.int32)
+    res["A11 sort(key+10 payload)+cumsum+boundary"] = timeit(
+        a11, grads_fm, rank_ids)
+
+    # A13: the exact _pack_features gather at padded capacity 3.13M
+    PADCAP = 3_133_568
+    big_idx = jnp.asarray(rng.integers(-1, P, size=PADCAP), jnp.int32)
+    def a13(f, i):
+        safe = jnp.maximum(i, 0)
+        inst = f[:, safe]
+        dead = (i < 0)[None, :]
+        inst = jnp.where(dead & (jnp.arange(NF)[:, None] == 5), 0.0, inst)
+        return jnp.concatenate(
+            [inst, jnp.zeros((16 - NF, PADCAP), inst.dtype)], axis=0)
+    res["A13 exact pack: gather@3.13M + where + pad"] = timeit(
+        a13, feats_fm, big_idx)
+    res["A14 pack gather only @3.13M"] = timeit(
+        lambda f, i: f[:, jnp.maximum(i, 0)], feats_fm, big_idx)
+
     # ---- B: feature gather -----------------------------------------------
     res["B1 col gather [NF,P][:, gid] (current)"] = timeit(
         lambda f, i: f[:, i], feats_fm, gid)
@@ -122,7 +180,9 @@ def main():
     res["C2 2M int32 gather meta[gid]"] = timeit(
         lambda v, i: v[i], vals[:P], gid)
     key = jnp.asarray(rng.integers(0, 1 << 30, size=PAD), jnp.int32)
-    res["C3 lax.sort 2M (key+1 payload)"] = timeit(
+    res["C3 lax.sort 2M (key only)"] = timeit(
+        lambda k: jax.lax.sort((k,), num_keys=1, is_stable=False)[0], key)
+    res["C3b lax.sort 2M (key+1 payload)"] = timeit(
         lambda k, g: jax.lax.sort((k, g), num_keys=1, is_stable=False),
         key, gid)
     res["C4 lax.sort 2M (key+3 payload)"] = timeit(
