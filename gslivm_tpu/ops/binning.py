@@ -154,11 +154,15 @@ def bin_instances(
     #    ONE 2-D gather of a small (rows, P) rank-space table — gather cost
     #    on TPU scales with the index count, not the row count, so merging
     #    the gathers (and folding the run-offset expansion into a table row)
-    #    is ~2x cheaper than separate fetches. Int rows ride bitcast as f32.
+    #    is ~2x cheaper than separate fetches. Int rows ride as exact f32
+    #    VALUES (rects < 2^12; offsets clamped to max_instances < 2^24 —
+    #    only runs intersecting [0, max_instances) are ever read back), NOT
+    #    bitcasts: bitcast int32 bit patterns are f32 denormals, which TPU
+    #    flushes to zero outside fused computations.
     rect_w = jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 1)
-    int_rows = [rect_min[:, 0], rect_min[:, 1], rect_w, offsets]
-    meta_rows = [jax.lax.bitcast_convert_type(v.astype(jnp.int32), jnp.float32)
-                 for v in int_rows]
+    int_rows = [rect_min[:, 0], rect_min[:, 1], rect_w,
+                jnp.minimum(offsets, max_instances)]
+    meta_rows = [v.astype(jnp.float32) for v in int_rows]
     if tile_cull:
         mean2d = jax.lax.stop_gradient(pre.mean2d)
         conic = jax.lax.stop_gradient(pre.conic)
@@ -171,8 +175,7 @@ def bin_instances(
     else:
         meta = jnp.stack(meta_rows, axis=0)
     m = meta[:, gid]
-    r_x, r_y, r_w, off_slot = (
-        jax.lax.bitcast_convert_type(m[i], jnp.int32) for i in range(4))
+    r_x, r_y, r_w, off_slot = (m[i].astype(jnp.int32) for i in range(4))
     k = slots - off_slot
     ty = r_y + k // r_w  # band-relative when banded
     tx = r_x + k % r_w
