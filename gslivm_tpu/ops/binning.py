@@ -53,7 +53,13 @@ from .rasterize_reference import (
     tile_min_power,
 )
 
-CHUNK = 128  # render-kernel chunk size; per-tile runs are padded to this
+CHUNK = 128  # render-kernel chunk size; per-tile runs are padded to this.
+# 128 is also the minimum Mosaic HBM slice alignment on the lane axis
+# (64-wide DMA windows are rejected). Measured dead ends (v5e, 1080p):
+# computing chunks in two 64-row halves with a mid-chunk early-exit is
+# ~4 ms SLOWER (lax.cond overhead + duplicated scan prologues), and MXU
+# moment-matmuls for the per-chunk reductions lose to the VPU (f32 needs
+# 6 MXU passes and the tiny contraction dims pad to full tiles).
 
 
 class BinnedInstances(NamedTuple):
@@ -177,8 +183,16 @@ def bin_instances(
     m = meta[:, gid]
     r_x, r_y, r_w, off_slot = (m[i].astype(jnp.int32) for i in range(4))
     k = slots - off_slot
-    ty = r_y + k // r_w  # band-relative when banded
-    tx = r_x + k % r_w
+    # k // r_w and k % r_w via f32 reciprocal + fixup (int div lowers to a
+    # long VPU sequence; k < 2^24 and r_w < 2^12 make the f32 path exact
+    # after a +-1 correction).
+    q = jnp.floor(k.astype(jnp.float32) *
+                  (1.0 / r_w.astype(jnp.float32))).astype(jnp.int32)
+    rem = k - q * r_w
+    q = q + (rem >= r_w).astype(jnp.int32) - (rem < 0).astype(jnp.int32)
+    rem = k - q * r_w
+    ty = r_y + q  # band-relative when banded
+    tx = r_x + rem
     tile_id = ty * grid_x + tx
 
     if tile_cull:
@@ -242,13 +256,12 @@ def bin_instances(
     keep_end_t = start + cnt_allowed
     neg = jnp.int32(-(1 << 30))
 
-    def expand_monotone(vals_t):
-        marks = jnp.full((max_instances,), neg, jnp.int32).at[start].max(
-            vals_t.astype(jnp.int32), mode="drop")
-        return jax.lax.cummax(marks)
-
-    delta_s = expand_monotone(delta_t)
-    keep_end_s = expand_monotone(keep_end_t)
+    # Both expansions fused into ONE 2-row scatter + cummax (the scan cost
+    # is sublane-parallel: (2, M) costs the same cycles as (M,)).
+    marks2 = jnp.full((2, max_instances), neg, jnp.int32).at[:, start].max(
+        jnp.stack([delta_t, keep_end_t]).astype(jnp.int32), mode="drop")
+    expanded = jax.lax.cummax(marks2, axis=1)
+    delta_s, keep_end_s = expanded[0], expanded[1]
     dst = slots + delta_s
     keep = (tile_sorted < num_tiles) & (slots < keep_end_s)
     dst = jnp.where(keep, dst, padded_size)  # dropped -> discard slot

@@ -41,6 +41,7 @@ class RasterizeSettings(NamedTuple):
     backend: str = "auto"
     max_instances: int = 2**20       # pallas binning budget
     max_chunks_per_tile: int = 64    # pallas per-tile cap
+    capacity_slack: float = 0.6      # pallas CHUNK-padding headroom
 
 
 def _resolve_backend(backend: str) -> str:
@@ -71,6 +72,7 @@ def _render_impl(settings: RasterizeSettings, camera, means, scales, quats,
             active_mask=active_mask,
             max_instances=settings.max_instances,
             max_chunks_per_tile=settings.max_chunks_per_tile,
+            capacity_slack=settings.capacity_slack,
         )
     else:
         raise ValueError(f"unknown rasterizer backend: {backend!r}")

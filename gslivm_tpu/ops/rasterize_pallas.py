@@ -625,6 +625,7 @@ def rasterize_pallas(
     band_rows: int | None = None,
     band_start=None,
     tile_cull: bool = True,
+    capacity_slack: float = 0.6,
 ) -> RenderOutput:
     """Tile-binned Pallas rasterization, API-compatible with rasterize_naive.
 
@@ -668,7 +669,7 @@ def rasterize_pallas(
         pre, W, H, max_instances, max_chunks_per_tile,
         band_start=y0 if banded else None,
         band_rows=n_rows if banded else None,
-        tile_cull=tile_cull)
+        tile_cull=tile_cull, capacity_slack=capacity_slack)
     y_shift = (y0 * TILE).astype(jnp.float32) if dynamic_band else float(y0 * TILE)
     inst = _pack_features(pre, binned.gauss_rank, binned.dorder,
                           y_shift=y_shift if banded else 0.0)
