@@ -265,6 +265,34 @@ def _skip_std_header(raw: bytes) -> tuple[int, float]:
     return 16 + flen, secs + nsecs * 1e-9
 
 
+class PoseSample(NamedTuple):
+    t: float
+    position: np.ndarray   # [3]
+    quat_xyzw: np.ndarray  # [4]
+
+
+def _decode_pose_at(raw: bytes, off: int, t: float) -> PoseSample:
+    vals = struct.unpack_from("<7d", raw, off)
+    return PoseSample(t, np.asarray(vals[:3], np.float64),
+                      np.asarray(vals[3:], np.float64))
+
+
+def decode_pose_stamped(raw: bytes) -> PoseSample:
+    """geometry_msgs/PoseStamped: Header + position(3d) + orientation(4d)
+    (ground-truth pose topics, python/parse_pose.py:20-28)."""
+    off, stamp = _skip_std_header(raw)
+    return _decode_pose_at(raw, off, stamp)
+
+
+def decode_odometry(raw: bytes) -> PoseSample:
+    """nav_msgs/Odometry: Header + child_frame_id(string) + pose (7d +
+    36d covariance) [+ twist, ignored] (python/listen_odom.py's /Odometry
+    recording)."""
+    off, stamp = _skip_std_header(raw)
+    (clen,) = struct.unpack_from("<I", raw, off)
+    return _decode_pose_at(raw, off + 4 + clen, stamp)
+
+
 def decode(msg: BagMessage):
     """Route a BagMessage to the matching sensor record."""
     if msg.datatype == "sensor_msgs/Imu":
@@ -277,6 +305,10 @@ def decode(msg: BagMessage):
         return decode_compressed_image(msg.raw, msg.t)
     if msg.datatype == "sensor_msgs/Image":
         return decode_image(msg.raw, msg.t)
+    if msg.datatype == "geometry_msgs/PoseStamped":
+        return decode_pose_stamped(msg.raw)
+    if msg.datatype == "nav_msgs/Odometry":
+        return decode_odometry(msg.raw)
     return None
 
 

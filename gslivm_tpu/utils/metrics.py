@@ -106,6 +106,27 @@ def evaluate_dir(path: str) -> dict:
     }
 
 
+def evaluate_dirs(render_dir: str, gt_dir: str) -> dict:
+    """evaluate_no_split.py: metrics over separate renders/ and gt/ dirs,
+    matched by sorted filename."""
+    rs = sorted(n for n in os.listdir(render_dir) if n.endswith(".png"))
+    gs = sorted(n for n in os.listdir(gt_dir) if n.endswith(".png"))
+    psnrs, ssims, l1s = [], [], []
+    for rn, gn in zip(rs, gs):
+        m = image_pair_metrics(load_png(os.path.join(render_dir, rn)),
+                               load_png(os.path.join(gt_dir, gn)))
+        psnrs.append(m["psnr"])
+        ssims.append(m["ssim"])
+        l1s.append(m["l1"])
+    n = len(psnrs)
+    return {
+        "count": n,
+        "mean_psnr": float(np.mean(psnrs)) if n else 0.0,
+        "mean_ssim": float(np.mean(ssims)) if n else 0.0,
+        "mean_l1": float(np.mean(l1s)) if n else 0.0,
+    }
+
+
 def parse_log_time(path: str) -> dict:
     """Parse a log_time.txt dump (plot_all_time.py-compatible format,
     timer.cc:12-45): returns {'realtime_ms': float, 'sections': {name:
