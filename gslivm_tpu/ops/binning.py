@@ -82,6 +82,8 @@ def bin_instances(
     band_rows: int | None = None,
     tile_cull: bool = True,
     capacity_slack: float = 1.0,
+    block_x: int = 1,
+    block_y: int = 1,
 ) -> BinnedInstances:
     """Expand gaussians into depth-sorted, tile-aligned instance slots.
 
@@ -101,16 +103,28 @@ def bin_instances(
     bins and renders only its band (tile ids come out band-relative).
     band_rows must be static; band_start may be a traced scalar (e.g.
     derived from jax.lax.axis_index inside shard_map).
+
+    block_x/block_y bin at SUPERTILE granularity: one bin covers a
+    (block_x·16) × (block_y·16) pixel block (= one render-kernel program).
+    Coarser bins mean each gaussian expands into ~block_x·block_y× fewer
+    instances, shrinking every instance-space op (this sort, the feature
+    pack, the backward's gradient scatter) at the cost of the render kernel
+    evaluating each instance over a larger pixel block — a pure win while
+    the kernel is not the bottleneck. All tile/row arguments (band_start,
+    band_rows, returned tile ids) are then in SUPERTILE units.
     """
     grid_x, grid_y = tile_grid(width, height)
+    blocked = block_x != 1 or block_y != 1
+    sgrid_x = -(-grid_x // block_x)
+    sgrid_y = -(-grid_y // block_y)
     banded = band_rows is not None
     if banded:
         y0 = band_start
         y1 = band_start + band_rows
-        num_tiles = grid_x * band_rows
+        num_tiles = sgrid_x * band_rows
     else:
-        y0, y1 = 0, grid_y
-        num_tiles = grid_x * grid_y
+        y0, y1 = 0, sgrid_y
+        num_tiles = sgrid_x * sgrid_y
     num_gauss = pre.depth.shape[0]
 
     depth = jax.lax.stop_gradient(pre.depth)
@@ -123,12 +137,30 @@ def bin_instances(
     ).astype(jnp.int32)
     rect_min = pre.rect_min[dorder]
     rect_max = pre.rect_max[dorder]
+    if blocked:
+        # exact supertile cover of the tile range [rect_min, rect_max):
+        # floor/ceil division (rects are already clipped to >= 0). Empty
+        # rects must STAY empty (ceil(k/b) > floor(k/b) when b doesn't
+        # divide k), hence the area gate below.
+        blk = jnp.asarray([block_x, block_y], jnp.int32)
+        empty = (rect_max[:, 0] <= rect_min[:, 0]) | (
+            rect_max[:, 1] <= rect_min[:, 1])
+        rect_min = rect_min // blk
+        rect_max = -((-rect_max) // blk)
+        rect_max = jnp.where(empty[:, None], rect_min, rect_max)
     if banded:
         # clip rects to the band (band-relative y) and recompute counts
         rect_min = rect_min.at[:, 1].set(
             jnp.clip(rect_min[:, 1], y0, y1) - y0)
         rect_max = rect_max.at[:, 1].set(
             jnp.clip(rect_max[:, 1], y0, y1) - y0)
+        counts = jnp.where(
+            pre.valid[dorder],
+            (rect_max[:, 0] - rect_min[:, 0])
+            * (rect_max[:, 1] - rect_min[:, 1]),
+            0,
+        ).astype(jnp.int32)
+    elif blocked:
         counts = jnp.where(
             pre.valid[dorder],
             (rect_max[:, 0] - rect_min[:, 0])
@@ -193,13 +225,14 @@ def bin_instances(
     rem = k - q * r_w
     ty = r_y + q  # band-relative when banded
     tx = r_x + rem
-    tile_id = ty * grid_x + tx
+    tile_id = ty * sgrid_x + tx
 
     if tile_cull:
         # Per-instance lossless ellipse cull (module doc #4).
         f = m[4:]
         ty_abs = ty + y0 if banded else ty
-        qmin = tile_min_power(f[0], f[1], f[2], f[3], f[4], tx, ty_abs)
+        qmin = tile_min_power(f[0], f[1], f[2], f[3], f[4], tx, ty_abs,
+                              pw=TILE * block_x, ph=TILE * block_y)
         keep = f[5] * jnp.exp(-qmin) >= TILE_CULL_EPS
         tile_id = jnp.where(keep, tile_id, num_tiles)
 

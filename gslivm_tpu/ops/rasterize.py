@@ -42,6 +42,8 @@ class RasterizeSettings(NamedTuple):
     max_instances: int = 2**20       # pallas binning budget
     max_chunks_per_tile: int = 64    # pallas per-tile cap
     capacity_slack: float = 0.6      # pallas CHUNK-padding headroom
+    block_x: int = 1                 # pallas supertile factor (16px tiles)
+    block_y: int = 1
 
 
 def _resolve_backend(backend: str) -> str:
@@ -73,6 +75,8 @@ def _render_impl(settings: RasterizeSettings, camera, means, scales, quats,
             max_instances=settings.max_instances,
             max_chunks_per_tile=settings.max_chunks_per_tile,
             capacity_slack=settings.capacity_slack,
+            block_x=settings.block_x,
+            block_y=settings.block_y,
         )
     else:
         raise ValueError(f"unknown rasterizer backend: {backend!r}")

@@ -3,10 +3,15 @@
 TPU-native redesign of the reference CUDA render kernels
 (`src/cuda_rasterizer/forward.cu:291-407`, `backward.cu:439-613`):
 
-  * One grid program per 16x16 tile. Register layout is chosen for the VPU:
-    the 256 tile pixels live on the LANE axis (2 lane-tiles) so all per-pixel
-    carry state is (1, 256) — two vregs; the 128 instances of a chunk live on
-    the SUBLANE axis. Compute arrays are (CHUNK, NPIX).
+  * One grid program per pixel block — a 16x16 tile by default, or a
+    (16*block_x) x (16*block_y) SUPERTILE (block_x/block_y): coarser bins
+    mean ~block_x*block_y fewer (gaussian, tile) instances, shrinking every
+    instance-space XLA op (sort/pack/grad-scatter) while kernel pixel work
+    stays constant (docs/kernels.md "Supertile"). Register layout is chosen
+    for the VPU: the npix block pixels live on the LANE axis so all
+    per-pixel carry state is (1, npix) — 2 vregs per 256 px; the 128
+    instances of a chunk live on the SUBLANE axis. Compute arrays are
+    (CHUNK, NPIX).
   * Instances arrive depth-sorted and CHUNK(=128)-aligned from `binning.py`;
     the kernel streams feature-major [16, CHUNK] blocks HBM->VMEM with
     double-buffered async DMA (the analog of the CUDA collective
@@ -59,19 +64,32 @@ from .rasterize_reference import (
     tile_grid,
 )
 
-NPIX = TILE * TILE  # 256 pixels per tile
-FEAT = 16  # packed instance feature columns (10 used, padded for tiling)
-# feature column indices
-_FX, _FY, _FA, _FB, _FC, _FO, _FR, _FG, _FB2, _FD = range(10)
+NPIX = TILE * TILE  # 256 pixels per 16x16 tile (block_x = block_y = 1)
+FEAT = 16  # packed instance feature columns (14 used, padded for tiling)
+# feature column indices; _FX0.._FY1 are the splat's 16x16 TILE-rect bounds
+# in pixels, used only in supertile mode (see _chunk_terms rect test)
+(_FX, _FY, _FA, _FB, _FC, _FO, _FR, _FG, _FB2, _FD,
+ _FX0, _FX1, _FY0, _FY1) = range(14)
 
 
 class PallasConfig(NamedTuple):
-    """Static kernel configuration (hashable -> usable as nondiff arg)."""
+    """Static kernel configuration (hashable -> usable as nondiff arg).
+
+    grid_x/grid_y count PROGRAMS; each program composites a pw x ph pixel
+    block (pw = 16*block_x, ph = 16*block_y — supertile rendering, see
+    binning.py). Per-pixel carry state is (1, pw*ph)."""
 
     grid_x: int
     grid_y: int
     max_chunks_per_tile: int
     interpret: bool
+    pw: int = TILE
+    ph: int = TILE
+    rect_test: bool = False
+
+    @property
+    def npix(self) -> int:
+        return self.pw * self.ph
 
 
 # ---------------------------------------------------------------------------
@@ -127,26 +145,31 @@ def _suffix_excl(x):
     return total - _cumsum_rows(x, exclusive=False)
 
 
-def _pixel_coords(t, grid_x):
-    """Per-tile pixel coordinates as (1, NPIX) f32 rows. Band-relative: when
-    rendering a tile band, the instance mean2d.y is shifted into band-local
-    coordinates by the wrapper (so a traced band start stays out of the
-    static kernel config)."""
-    tile_y = t // grid_x
-    tile_x = t % grid_x
-    p = jax.lax.broadcasted_iota(jnp.int32, (1, NPIX), 1)
-    col = p % TILE
-    row = p // TILE
-    px = (tile_x * TILE + col).astype(jnp.float32)
-    py = (tile_y * TILE + row).astype(jnp.float32)
+def _pixel_coords(t, cfg: PallasConfig):
+    """Per-program pixel coordinates as (1, npix) f32 rows (row-major within
+    the pw x ph block). Band-relative: when rendering a tile band, the
+    instance mean2d.y is shifted into band-local coordinates by the wrapper
+    (so a traced band start stays out of the static kernel config)."""
+    tile_y = t // cfg.grid_x
+    tile_x = t % cfg.grid_x
+    p = jax.lax.broadcasted_iota(jnp.int32, (1, cfg.npix), 1)
+    col = p % cfg.pw
+    row = p // cfg.pw
+    px = (tile_x * cfg.pw + col).astype(jnp.float32)
+    py = (tile_y * cfg.ph + row).astype(jnp.float32)
     return px, py
 
 
-def _chunk_terms(featT, px, py, T_in, done_in):
+def _chunk_terms(featT, px, py, T_in, done_in, rect_test: bool = False):
     """Shared fwd/bwd per-chunk math (exact oracle semantics, vectorized).
 
     featT: (CHUNK, FEAT) — transposed feature block (gaussians on sublanes);
     px/py/T_in/done_in: (1, NPIX).
+    rect_test: in supertile mode a program's pixel block is a SUPERSET of a
+    splat's 16x16 tile rect, so reference rect-cut semantics (a pixel only
+    sees splats whose tile rect covers its tile, auxiliary.h:39-45 +
+    forward.cu:291) need an explicit per-pixel rect membership test; at
+    block 1x1 the binning guarantees it and the test is skipped.
     Returns a dict of (CHUNK, NPIX) / (1, NPIX) arrays.
     """
     x = featT[:, _FX][:, None]
@@ -163,6 +186,12 @@ def _chunk_terms(featT, px, py, T_in, done_in):
     raw_alpha = op * G
     alpha = jnp.minimum(0.99, raw_alpha)
     accepted = (power <= 0.0) & (alpha >= 1.0 / 255.0)
+    if rect_test:
+        accepted = (
+            accepted
+            & (px >= featT[:, _FX0][:, None]) & (px < featT[:, _FX1][:, None])
+            & (py >= featT[:, _FY0][:, None]) & (py < featT[:, _FY1][:, None])
+        )
     one_minus_eff = jnp.where(accepted, 1.0 - alpha, 1.0)
 
     T_prev = T_in * _cumprod_rows(one_minus_eff, exclusive=True)
@@ -200,7 +229,7 @@ def _fwd_kernel(cfg: PallasConfig, save_ckpt: bool, off_ref, nch_ref,
     t = pl.program_id(0)
     off = off_ref[t]
     nchunks = nch_ref[t]
-    px, py = _pixel_coords(t, cfg.grid_x)
+    px, py = _pixel_coords(t, cfg)
 
     def get_dma(slot, i):
         start = pl.multiple_of(off + i * CHUNK, CHUNK)  # aligned by binning
@@ -214,10 +243,10 @@ def _fwd_kernel(cfg: PallasConfig, save_ckpt: bool, off_ref, nch_ref,
     def _():
         get_dma(0, 0).start()
 
-    zeros = jnp.zeros((1, NPIX), jnp.float32)
+    zeros = jnp.zeros((1, cfg.npix), jnp.float32)
     init = (
-        jnp.ones((1, NPIX), jnp.float32),   # T
-        jnp.zeros((1, NPIX), jnp.float32),  # done (f32 0/1: i1 loop carries
+        jnp.ones((1, cfg.npix), jnp.float32),   # T
+        jnp.zeros((1, cfg.npix), jnp.float32),  # done (f32 0/1: i1 loop carries
                                             # fail to legalize in Mosaic)
         zeros, zeros, zeros,                # C0, C1, C2
         zeros, zeros,                       # D, A
@@ -261,14 +290,15 @@ def _fwd_kernel(cfg: PallasConfig, save_ckpt: bool, off_ref, nch_ref,
         def compute(state):
             T, done, C0, C1, C2, D, A, N = state
             featT = buf_ref[slot].T  # (CHUNK, FEAT): gaussians on sublanes
-            m = _chunk_terms(featT, px, py, T, done > 0.0)
+            m = _chunk_terms(featT, px, py, T, done > 0.0,
+                             cfg.rect_test)
             w = m["w"]
             C0 = C0 + jnp.sum(w * featT[:, _FR][:, None], axis=0, keepdims=True)
             C1 = C1 + jnp.sum(w * featT[:, _FG][:, None], axis=0, keepdims=True)
             C2 = C2 + jnp.sum(w * featT[:, _FB2][:, None], axis=0, keepdims=True)
             D = D + jnp.sum(w * featT[:, _FD][:, None], axis=0, keepdims=True)
             A = A + jnp.sum(w, axis=0, keepdims=True)
-            row = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, NPIX), 0)
+            row = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, cfg.npix), 0)
             idx = (row + i * CHUNK + 1).astype(jnp.float32)
             N = jnp.maximum(N, jnp.max(jnp.where(m["contrib"], idx, 0.0),
                                        axis=0, keepdims=True))
@@ -283,7 +313,7 @@ def _fwd_kernel(cfg: PallasConfig, save_ckpt: bool, off_ref, nch_ref,
     neff = jnp.where(neff < 0.0, nchunks.astype(jnp.float32), neff)
 
     out_ref[0, :, :] = jnp.concatenate(
-        [C0, C1, C2, D, A, T, N, jnp.full((1, NPIX), neff)], axis=0
+        [C0, C1, C2, D, A, T, N, jnp.full((1, cfg.npix), neff)], axis=0
     )
 
     if save_ckpt:
@@ -305,7 +335,7 @@ def _bwd_kernel(cfg: PallasConfig, off_ref, neff_ref, inst_ref, g_ref,
     t = pl.program_id(0)
     off = off_ref[t]
     neff = neff_ref[t]
-    px, py = _pixel_coords(t, cfg.grid_x)
+    px, py = _pixel_coords(t, cfg)
 
     def get_dma(slot, i):
         start = pl.multiple_of(off + i * CHUNK, CHUNK)  # aligned by binning
@@ -343,7 +373,7 @@ def _bwd_kernel(cfg: PallasConfig, off_ref, neff_ref, inst_ref, g_ref,
     T_fin = fwd_ref[0, 5:6, :]  # final transmittance from the forward
 
     # ---- Reverse chunk walk with suffix-sum carries. ---------------------
-    zeros = jnp.zeros((1, NPIX), jnp.float32)
+    zeros = jnp.zeros((1, cfg.npix), jnp.float32)
     carry0 = (zeros,)  # fused suffix-sum carry W_psi
 
     def reverse(j, carry):
@@ -360,7 +390,7 @@ def _bwd_kernel(cfg: PallasConfig, off_ref, neff_ref, inst_ref, g_ref,
         T_signed = ckpt_scr[pl.ds(i, 1), :]
         T_in = jnp.abs(T_signed)
         done_in = T_signed < 0.0
-        m = _chunk_terms(featT, px, py, T_in, done_in)
+        m = _chunk_terms(featT, px, py, T_in, done_in, cfg.rect_test)
 
         w = m["w"]
         r = featT[:, _FR][:, None]
@@ -447,19 +477,19 @@ def _fwd_call(cfg: PallasConfig, inst, tile_offset, tile_nchunks,
         pltpu.VMEM((2, FEAT, CHUNK), jnp.float32),
         pltpu.SemaphoreType.DMA((2,)),
     ]
-    out_shape = jax.ShapeDtypeStruct((num_tiles, 8, NPIX), jnp.float32)
+    out_shape = jax.ShapeDtypeStruct((num_tiles, 8, cfg.npix), jnp.float32)
     out_specs = pl.BlockSpec(
-        (1, 8, NPIX), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+        (1, 8, cfg.npix), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
     )
     if save_ckpt:
         scratch = [
             pltpu.VMEM((2, FEAT, CHUNK), jnp.float32),
-            pltpu.VMEM((cfg.max_chunks_per_tile, NPIX), jnp.float32),
+            pltpu.VMEM((cfg.max_chunks_per_tile, cfg.npix), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
         ]
         out_shape = (out_shape, jax.ShapeDtypeStruct(
-            (num_tiles, cfg.max_chunks_per_tile, NPIX), jnp.float32))
+            (num_tiles, cfg.max_chunks_per_tile, cfg.npix), jnp.float32))
         out_specs = (out_specs, pl.BlockSpec(memory_space=pltpu.HBM))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -486,17 +516,17 @@ def _bwd_call(cfg: PallasConfig, inst, tile_offset, neff, g_tiles, fwd_tiles,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(
-                (1, 8, NPIX), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+                (1, 8, cfg.npix), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, 8, NPIX), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+                (1, 8, cfg.npix), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
             pltpu.VMEM((2, FEAT, CHUNK), jnp.float32),
-            pltpu.VMEM((cfg.max_chunks_per_tile, NPIX), jnp.float32),
+            pltpu.VMEM((cfg.max_chunks_per_tile, cfg.npix), jnp.float32),
             pltpu.VMEM((2, FEAT, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -569,40 +599,77 @@ def _permute_cols_bwd(res, g):
 _permute_cols.defvjp(_permute_cols_fwd, _permute_cols_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _gather_cols(ndiff: int, table, idx):
+    """table[:, idx] whose VJP scatter-adds ONLY the first `ndiff` rows.
+
+    The rect-bound rows (supertile mode) are stop-gradient ints with
+    structurally-zero cotangents, but XLA's default gather-VJP would still
+    scatter them — at 1M+ instance slots the scatter-add is the single most
+    expensive backward op, so trimming 4/14 of its rows is real money."""
+    return table[:, idx]
+
+
+def _gather_cols_fwd(ndiff, table, idx):
+    return table[:, idx], (idx, table.shape)
+
+
+def _gather_cols_bwd(ndiff, res, g):
+    idx, shape = res
+    # pure [:, idx] scatter-add (same dimension numbers as the default
+    # gather-VJP); mixing a row slice into the scatter ([:ndiff, idx]) makes
+    # XLA emit a transposed point-scatter that is ~50x slower on TPU
+    d10 = jnp.zeros((ndiff, shape[1]), g.dtype).at[:, idx].add(g[:ndiff])
+    d = jnp.concatenate(
+        [d10, jnp.zeros((shape[0] - ndiff, shape[1]), g.dtype)], axis=0)
+    return d, np.zeros(idx.shape, jax.dtypes.float0)
+
+
+_gather_cols.defvjp(_gather_cols_fwd, _gather_cols_bwd)
+
+
 def _pack_features(pre: PreprocessedGaussians, gauss_rank, dorder,
-                   y_shift=0.0):
+                   y_shift=0.0, rect_rows: bool = False):
     """Gather per-gaussian screen features into the feature-major
     [FEAT, PAD] instance array (differentiable; padding slots get opacity
     0). Instance ids are in DEPTH-RANK space (binning.py), so the small
-    [10, P] table is permuted into rank order first (two cheap small-table
+    [rows, P] table is permuted into rank order first (two cheap small-table
     gathers instead of one expensive PAD-wide un-permute). Feature-major
     keeps the kernel's DMA chunk slices lane-aligned. y_shift moves mean2d.y
-    into band-local pixel coordinates."""
-    per_gauss = jnp.stack(
-        [
-            pre.mean2d[:, 0],
-            pre.mean2d[:, 1] - y_shift,
-            pre.conic[:, 0],
-            pre.conic[:, 1],
-            pre.conic[:, 2],
-            jnp.where(pre.valid, pre.opacity, 0.0),
-            pre.color[:, 0],
-            pre.color[:, 1],
-            pre.color[:, 2],
-            pre.depth,
-        ],
-        axis=0,
-    )  # [10, P] original order
+    into band-local pixel coordinates. rect_rows appends the 4 tile-rect
+    pixel bounds (supertile mode's in-kernel rect test); they are
+    stop-gradient ints riding as exact f32 values."""
+    rows = [
+        pre.mean2d[:, 0],
+        pre.mean2d[:, 1] - y_shift,
+        pre.conic[:, 0],
+        pre.conic[:, 1],
+        pre.conic[:, 2],
+        jnp.where(pre.valid, pre.opacity, 0.0),
+        pre.color[:, 0],
+        pre.color[:, 1],
+        pre.color[:, 2],
+        pre.depth,
+    ]
+    if rect_rows:
+        rows += [
+            (pre.rect_min[:, 0] * TILE).astype(jnp.float32),
+            (pre.rect_max[:, 0] * TILE).astype(jnp.float32),
+            (pre.rect_min[:, 1] * TILE).astype(jnp.float32) - y_shift,
+            (pre.rect_max[:, 1] * TILE).astype(jnp.float32) - y_shift,
+        ]
+    nrows = len(rows)
+    per_gauss = jnp.stack(rows, axis=0)  # [nrows, P] original order
     n = dorder.shape[0]
     inv_dorder = jnp.zeros((n,), jnp.int32).at[dorder].set(
         jnp.arange(n, dtype=jnp.int32))
-    table = _permute_cols(per_gauss, dorder, inv_dorder)  # [10, P] rank order
+    table = _permute_cols(per_gauss, dorder, inv_dorder)  # rank order
 
     safe = jnp.maximum(gauss_rank, 0)
-    inst = table[:, safe]  # [10, PAD]
+    inst = _gather_cols(10, table, safe)  # [nrows, PAD]; VJP: 10 rows only
     dead = (gauss_rank < 0)[None, :]
-    inst = jnp.where(dead & (jnp.arange(10)[:, None] == _FO), 0.0, inst)
-    pad_rows = jnp.zeros((FEAT - 10, inst.shape[1]), inst.dtype)
+    inst = jnp.where(dead & (jnp.arange(nrows)[:, None] == _FO), 0.0, inst)
+    pad_rows = jnp.zeros((FEAT - nrows, inst.shape[1]), inst.dtype)
     return jnp.concatenate([inst, pad_rows], axis=0)
 
 
@@ -626,15 +693,25 @@ def rasterize_pallas(
     band_start=None,
     tile_cull: bool = True,
     capacity_slack: float = 0.6,
+    block_x: int = 1,
+    block_y: int = 1,
 ) -> RenderOutput:
     """Tile-binned Pallas rasterization, API-compatible with rasterize_naive.
 
+    block_x/block_y set the SUPERTILE factor: each kernel program (and each
+    binning cell) covers a (16*block_x) x (16*block_y) pixel block. Larger
+    blocks shrink the instance expansion (fewer duplicated splats => cheaper
+    sort / feature pack / gradient scatter) while the kernel evaluates each
+    instance over more pixels; at 1080p/200k-gaussian scale 2x2 is a large
+    net win (the XLA instance-space ops dominate the kernel). All band
+    arguments are in SUPERTILE rows.
+
     Two banded-rendering modes (the pixel-axis sharding unit):
-      tile_band=(y0, y1): STATIC tile-row band; outputs keep the full image
-        shape with rows outside the band background-only (T=1).
+      tile_band=(y0, y1): STATIC supertile-row band; outputs keep the full
+        image shape with rows outside the band background-only (T=1).
       band_rows=h, band_start=y0: h static, y0 may be a TRACED scalar (e.g.
         jax.lax.axis_index inside shard_map); outputs are band-only
-        [.., h*16 (cropped), W].
+        [.., h*16*block_y (cropped), W].
     """
     H, W = camera.height, camera.width
     if bg_color is None:
@@ -642,21 +719,34 @@ def rasterize_pallas(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     grid_x, grid_y = tile_grid(W, H)
+    sgrid_x = -(-grid_x // block_x)
+    sgrid_y = -(-grid_y // block_y)
+    pw, ph = TILE * block_x, TILE * block_y
+    if pw * ph > 2048:
+        # (128, npix) f32 compute arrays: npix 4096 blows the 16 MB scoped
+        # VMEM limit in the backward kernel (measured on v5e)
+        raise ValueError(
+            f"block_x*block_y={block_x * block_y} > 8: program pixel block "
+            f"{pw}x{ph} exceeds the VMEM budget of the backward kernel")
 
     dynamic_band = band_rows is not None
     if dynamic_band:
         y0 = jnp.asarray(band_start, jnp.int32)
         n_rows = band_rows
     else:
-        y0_i, y1_i = tile_band if tile_band is not None else (0, grid_y)
+        y0_i, y1_i = tile_band if tile_band is not None else (0, sgrid_y)
         y0 = y0_i
         n_rows = y1_i - y0_i
 
+    blocked = block_x != 1 or block_y != 1
     cfg = PallasConfig(
-        grid_x=grid_x,
+        grid_x=sgrid_x,
         grid_y=n_rows,
         max_chunks_per_tile=max_chunks_per_tile,
         interpret=bool(interpret),
+        pw=pw,
+        ph=ph,
+        rect_test=blocked,
     )
 
     pre = preprocess(
@@ -669,18 +759,20 @@ def rasterize_pallas(
         pre, W, H, max_instances, max_chunks_per_tile,
         band_start=y0 if banded else None,
         band_rows=n_rows if banded else None,
-        tile_cull=tile_cull, capacity_slack=capacity_slack)
-    y_shift = (y0 * TILE).astype(jnp.float32) if dynamic_band else float(y0 * TILE)
+        tile_cull=tile_cull, capacity_slack=capacity_slack,
+        block_x=block_x, block_y=block_y)
+    y_shift = (y0 * ph).astype(jnp.float32) if dynamic_band else float(y0 * ph)
     inst = _pack_features(pre, binned.gauss_rank, binned.dorder,
-                          y_shift=y_shift if banded else 0.0)
+                          y_shift=y_shift if banded else 0.0,
+                          rect_rows=blocked)
 
     tiles = _render_tiles(cfg, inst, binned.tile_offset, binned.tile_nchunks)
 
-    # [T, 8, NPIX] -> [8, band_h, Wp]
+    # [T, 8, npix] -> [8, band_h, Wp]
     band = (
-        tiles.reshape(n_rows, grid_x, 8, TILE, TILE)
+        tiles.reshape(n_rows, sgrid_x, 8, ph, pw)
         .transpose(2, 0, 3, 1, 4)
-        .reshape(8, n_rows * TILE, grid_x * TILE)
+        .reshape(8, n_rows * ph, sgrid_x * pw)
     )
 
     def out_from(img, crop_h):
@@ -695,11 +787,11 @@ def rasterize_pallas(
         )
 
     if dynamic_band:
-        return out_from(band[:, :, :W], n_rows * TILE)
+        return out_from(band[:, :, :W], n_rows * ph)
     if tile_band is None:
         return out_from(band[:, :H, :W], H)
     # static band: embed into the full frame (T=1 outside the band)
-    img = jnp.zeros((8, grid_y * TILE, grid_x * TILE), band.dtype)
+    img = jnp.zeros((8, sgrid_y * ph, sgrid_x * pw), band.dtype)
     img = img.at[5].set(1.0)
-    img = jax.lax.dynamic_update_slice(img, band, (0, y0 * TILE, 0))
+    img = jax.lax.dynamic_update_slice(img, band, (0, y0 * ph, 0))
     return out_from(img[:, :H, :W], H)

@@ -73,20 +73,23 @@ def get_rect(mean2d, radius_xy, grid_x: int, grid_y: int):
     return rect_min, rect_max
 
 
-def tile_min_power(mx, my, ca, cb, cc, tile_x, tile_y):
+def tile_min_power(mx, my, ca, cb, cc, tile_x, tile_y, pw: int = TILE,
+                   ph: int = TILE):
     """Exact minimum of q(d) = 0.5(a dx² + c dy²) + b dx dy over a tile's
-    pixel box [16tx, 16tx+15] × [16ty, 16ty+15] (continuous hull of the
-    tile's pixel centers; conservative for the integer pixel grid).
+    pixel box [pw·tx, pw·tx+pw−1] × [ph·ty, ph·ty+ph−1] (continuous hull of
+    the tile's pixel centers; conservative for the integer pixel grid).
+    pw/ph default to the 16×16 reference tile; supertile binning passes the
+    program block's pixel pitch.
 
     q = -power of the splat kernel (forward.cu:355), so a tile with
     opacity·exp(-q_min) < 1/255 contains NO pixel that passes the render
     kernel's alpha test (forward.cu:374) — dropping the (gaussian, tile)
     instance is lossless for C/D/S and all gradients. All args broadcast.
     """
-    x0 = tile_x * TILE - mx
-    x1 = x0 + (TILE - 1)
-    y0 = tile_y * TILE - my
-    y1 = y0 + (TILE - 1)
+    x0 = tile_x * pw - mx
+    x1 = x0 + (pw - 1)
+    y0 = tile_y * ph - my
+    y1 = y0 + (ph - 1)
     inside = (x0 <= 0) & (0 <= x1) & (y0 <= 0) & (0 <= y1)
     sa = jnp.maximum(ca, 1e-12)
     sc = jnp.maximum(cc, 1e-12)

@@ -224,3 +224,42 @@ def test_tile_bands_compose_to_full_image():
         stitched[:, rows] = np.asarray(band.color)[:, rows]
     np.testing.assert_allclose(stitched, np.asarray(full.color),
                                atol=1e-6, rtol=1e-5)
+
+
+@pytest.mark.parametrize("bx,by", [(2, 2), (2, 1), (4, 2)])
+def test_supertile_matches_tile(bx, by, rng):
+    """Supertile (blocked) rendering must match the 1x1 tile path exactly:
+    images AND gradients (the in-kernel rect test restores the reference's
+    3-sigma rect-cut semantics that coarse binning would otherwise lose)."""
+    n = 150
+    cam = _cam()
+    means, scales, quats, opac, shs = _scene(n, rng)
+    bg = jnp.asarray([0.2, 0.5, 0.8])
+    gt = jnp.asarray(rng.uniform(size=(3, cam.height, cam.width)), jnp.float32)
+
+    def loss(block):
+        def f(means, scales, quats, opac, shs):
+            out = rasterize_pallas(means, scales, quats, opac, shs, cam,
+                                   bg_color=bg, max_instances=1 << 14,
+                                   capacity_slack=1.0, interpret=True,
+                                   block_x=block[0], block_y=block[1])
+            return (jnp.sum((out.color - gt) ** 2) + jnp.sum(out.acc)
+                    + 0.1 * jnp.sum(out.depth)), out
+        return f
+
+    (v1, o1), g1 = jax.value_and_grad(loss((1, 1)), argnums=(0, 1, 2, 3, 4),
+                                      has_aux=True)(means, scales, quats,
+                                                    opac, shs)
+    (v2, o2), g2 = jax.value_and_grad(loss((bx, by)), argnums=(0, 1, 2, 3, 4),
+                                      has_aux=True)(means, scales, quats,
+                                                    opac, shs)
+    np.testing.assert_allclose(np.asarray(o2.color), np.asarray(o1.color),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(o2.depth), np.asarray(o1.depth),
+                               atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(o2.acc), np.asarray(o1.acc),
+                               atol=2e-5, rtol=1e-4)
+    for a, b in zip(g1, g2):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() + 1e-8
+        np.testing.assert_allclose(b, a, atol=1e-5 * scale, rtol=1e-4)
