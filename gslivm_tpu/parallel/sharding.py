@@ -112,9 +112,11 @@ def _gather_params(params: GaussianParams) -> GaussianParams:
 
 
 def _render_band_pallas(params: GaussianParams, camera: Camera, bg_color,
-                        band_rows: int, max_instances: int):
-    """Per-device Pallas band render inside shard_map: this device's tile-row
-    band of the frame, reassembled across "pixel" by the caller."""
+                        band_rows: int, max_instances: int,
+                        block: tuple[int, int] = (1, 1)):
+    """Per-device Pallas band render inside shard_map: this device's band of
+    SUPERTILE rows (16*block pixels each), reassembled across "pixel" by the
+    caller."""
     from ..ops.rasterize_pallas import rasterize_pallas
 
     my_pixel = jax.lax.axis_index("pixel")
@@ -131,14 +133,17 @@ def _render_band_pallas(params: GaussianParams, camera: Camera, bg_color,
         max_instances=max_instances,
         band_rows=band_rows,
         band_start=my_pixel * band_rows,
+        block_x=block[0],
+        block_y=block[1],
     )
-    return out.color  # [3, band_rows*16, W]
+    return out.color  # [3, band_rows*16*block[1], W]
 
 
 def sharded_loss_fn(params_shard: GaussianParams, cameras: Sequence[Camera],
                     gt_images, simi: training.SimiInputs, bg_color,
                     opt_params: GsOptimParams, renderer: str = "oracle",
-                    max_instances: int = 2**18):
+                    max_instances: int = 2**18,
+                    block: tuple[int, int] = (1, 1)):
     """Per-device loss inside shard_map; differentiable through collectives.
 
     renderer="oracle": pixel-chunk compositing with the naive math.
@@ -158,9 +163,10 @@ def sharded_loss_fn(params_shard: GaussianParams, cameras: Sequence[Camera],
             from ..ops.rasterize_reference import tile_grid
 
             _, grid_y = tile_grid(W, H)
-            band_rows = -(-grid_y // n_pixel)
+            sgrid_y = -(-grid_y // block[1])  # supertile rows
+            band_rows = -(-sgrid_y // n_pixel)
             band = _render_band_pallas(params, cam, bg_color, band_rows,
-                                       max_instances)
+                                       max_instances, block=block)
             full = jax.lax.all_gather(band, "pixel", axis=1, tiled=True)
             img = full[:, :H, :]
         else:
@@ -185,7 +191,7 @@ def sharded_loss_fn(params_shard: GaussianParams, cameras: Sequence[Camera],
 
 @functools.partial(
     jax.jit, static_argnames=("mesh", "opt_params", "renderer",
-                              "max_instances")
+                              "max_instances", "block")
 )
 def sharded_train_step(
     mesh: Mesh,
@@ -198,6 +204,7 @@ def sharded_train_step(
     bg_color=None,
     renderer: str = "oracle",
     max_instances: int = 2**18,
+    block: tuple[int, int] = (1, 1),
 ):
     """One training step with gauss-sharded params + pixel-sharded render.
 
@@ -221,7 +228,7 @@ def sharded_train_step(
         p_shard = GaussianParams(n_active=n_active, **floats)
         return sharded_loss_fn(p_shard, cameras, gt_images, simi, bg_color,
                                opt_params, renderer=renderer,
-                               max_instances=max_instances)
+                               max_instances=max_instances, block=block)
 
     check_vma = renderer != "pallas"
 

@@ -116,3 +116,32 @@ def test_sharded_pallas_matches_single_device(scene):
         a = np.asarray(getattr(ref_params, field))
         b = np.asarray(getattr(new_params, field))
         np.testing.assert_allclose(b, a, rtol=1e-3, atol=1e-5, err_msg=field)
+
+
+def test_sharded_pallas_supertile_matches_single_device(scene):
+    """Supertile band rendering (block 2x2) under shard_map: band_rows are
+    SUPERTILE rows; results must still match the single-device step."""
+    params, cam, gt = scene
+    opt_params = GsOptimParams()
+    mesh = sharding.make_mesh(4, gauss_axis=1)
+    optimizer = training.make_optimizer(opt_params)
+
+    ref_params, _, ref_metrics = training.train_step(
+        params, optimizer.init(params), [cam], gt,
+        training.empty_simi(max_gauss=64),
+        opt_params=opt_params, settings=RasterizeSettings(backend="naive"),
+    )
+
+    sh_params = sharding.shard_params(params, mesh)
+    opt_state = optimizer.init(sh_params)
+    new_params, _, loss = sharding.sharded_train_step(
+        mesh, sh_params, opt_state, [cam], gt[0][None],
+        training.empty_simi(max_gauss=64), opt_params=opt_params,
+        renderer="pallas", max_instances=1 << 14, block=(2, 2),
+    )
+    np.testing.assert_allclose(float(loss), float(ref_metrics.image_loss),
+                               rtol=1e-4, atol=1e-5)
+    for field in ("xyz", "features_dc", "scaling", "opacity"):
+        a = np.asarray(getattr(ref_params, field))
+        b = np.asarray(getattr(new_params, field))
+        np.testing.assert_allclose(b, a, rtol=1e-3, atol=1e-5, err_msg=field)
