@@ -1,9 +1,12 @@
 """Stage-by-stage profile of the 1080p rasterizer bench pipeline.
 
-Times cumulative prefixes of the pipeline (each jitted separately) so the
-per-stage cost is the difference between consecutive rows. Uses slope-based
-device timing (tools/tputime.py) because block_until_ready does not
-synchronize on the axon tunnel. Run on TPU.
+Profiles the EXACT bench configuration (supertile 2x2, max_instances 1<<20,
+capacity slack 0.6 — bench.py) so the full fwd+bwd stage hits the same
+persistent compile cache entry as bench.py. Times cumulative prefixes of
+the pipeline (each jitted separately); per-stage cost is the difference
+between consecutive rows. Uses slope-based device timing (tools/tputime.py)
+because block_until_ready does not synchronize on the axon tunnel. Run on
+TPU.
 """
 from __future__ import annotations
 
@@ -16,6 +19,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 ".."))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+WIDTH, HEIGHT = 1920, 1080
+N = 200_000
+MAXI = 1 << 20
+BLOCK = (2, 2)
+SLACK = 0.6
+MAXCH = 64
+
 
 def main():
     import jax
@@ -26,10 +36,6 @@ def main():
     from gslivm_tpu.ops import binning as B
     from gslivm_tpu.ops import rasterize_pallas as RP
     from gslivm_tpu.ops.rasterize_reference import preprocess, tile_grid
-
-    WIDTH, HEIGHT = 1920, 1080
-    N = 200_000
-    MAXI = 1 << 21
 
     rng = np.random.default_rng(0)
     means = jnp.asarray(rng.normal(0, 2.0, (N, 3)) + [0, 0, 6.0], jnp.float32)
@@ -43,13 +49,20 @@ def main():
                       fovy=0.8)
     gt = jnp.zeros((3, HEIGHT, WIDTH), jnp.float32)
 
+    bx, by = BLOCK
     grid_x, grid_y = tile_grid(WIDTH, HEIGHT)
-    cfg = RP.PallasConfig(grid_x=grid_x, grid_y=grid_y,
-                          max_chunks_per_tile=64, interpret=False)
+    sgx, sgy = -(-grid_x // bx), -(-grid_y // by)
+    cfg = RP.PallasConfig(grid_x=sgx, grid_y=sgy,
+                          max_chunks_per_tile=MAXCH, interpret=False,
+                          pw=16 * bx, ph=16 * by, rect_test=True)
+
+    def _bin(pre):
+        return B.bin_instances(pre, WIDTH, HEIGHT, MAXI, MAXCH,
+                               capacity_slack=SLACK, block_x=bx, block_y=by)
 
     # ---- instance statistics (sizing max_instances) ----------------------
     pre0 = preprocess(means, scales, quats, opac, shs, cam)
-    b = B.bin_instances(pre0, WIDTH, HEIGHT, MAXI, 64)
+    b = _bin(pre0)
     kept = int(jnp.sum(b.gauss_rank >= 0))
     print(f"expansion total (rect area): {int(b.num_instances)}")
     print(f"kept after cull+cap        : {kept}")
@@ -57,45 +70,41 @@ def main():
     print(f"padded capacity            : {b.gauss_rank.shape[0]}")
     nch = np.asarray(b.tile_nchunks)
     print(f"chunks: total {nch.sum()}, max/tile {nch.max()}, "
-          f"mean/tile {nch.mean():.2f}")
+          f"mean/tile {nch.mean():.2f}", flush=True)
 
     def s_pre(ms, sc, qu, op, sh):
         return preprocess(ms, sc, qu, op, sh, cam)
 
     def s_bin(ms, sc, qu, op, sh):
-        pre = preprocess(ms, sc, qu, op, sh, cam)
-        return B.bin_instances(pre, WIDTH, HEIGHT, MAXI, 64)
+        return _bin(preprocess(ms, sc, qu, op, sh, cam))
 
     def s_pack(ms, sc, qu, op, sh):
         pre = preprocess(ms, sc, qu, op, sh, cam)
-        binned = B.bin_instances(pre, WIDTH, HEIGHT, MAXI, 64)
-        return RP._pack_features(pre, binned.gauss_rank, binned.dorder)
+        binned = _bin(pre)
+        return RP._pack_features(pre, binned.gauss_rank, binned.dorder,
+                                 rect_rows=True)
 
     def s_fwd(ms, sc, qu, op, sh):
         pre = preprocess(ms, sc, qu, op, sh, cam)
-        binned = B.bin_instances(pre, WIDTH, HEIGHT, MAXI, 64)
-        inst = RP._pack_features(pre, binned.gauss_rank, binned.dorder)
+        binned = _bin(pre)
+        inst = RP._pack_features(pre, binned.gauss_rank, binned.dorder,
+                                 rect_rows=True)
         return RP._render_tiles(cfg, inst, binned.tile_offset,
                                 binned.tile_nchunks)
 
-    def s_fwd_ckpt(ms, sc, qu, op, sh):
-        pre = preprocess(ms, sc, qu, op, sh, cam)
-        binned = B.bin_instances(pre, WIDTH, HEIGHT, MAXI, 64)
-        inst = RP._pack_features(pre, binned.gauss_rank, binned.dorder)
-        return RP._fwd_call(cfg, inst, binned.tile_offset,
-                            binned.tile_nchunks, save_ckpt=True)
-
     def s_full_fwd(ms, sc, qu, op, sh):
         out = RP.rasterize_pallas(ms, sc, qu, op, sh, cam,
-                                  max_instances=MAXI, interpret=False)
+                                  max_instances=MAXI, interpret=False,
+                                  block_x=bx, block_y=by)
         return jnp.sum((out.color - gt) ** 2) + 0.1 * jnp.sum(out.acc)
 
     grad_full = jax.grad(s_full_fwd, argnums=(0, 1, 2, 3, 4))
 
     def s_kernel_loss(ms, sc, qu, op, sh):
         pre = preprocess(ms, sc, qu, op, sh, cam)
-        binned = B.bin_instances(pre, WIDTH, HEIGHT, MAXI, 64)
-        inst = RP._pack_features(pre, binned.gauss_rank, binned.dorder)
+        binned = _bin(pre)
+        inst = RP._pack_features(pre, binned.gauss_rank, binned.dorder,
+                                 rect_rows=True)
         tiles = RP._render_tiles(cfg, inst, binned.tile_offset,
                                  binned.tile_nchunks)
         return jnp.sum(tiles[:, :5, :] ** 2)
@@ -106,8 +115,7 @@ def main():
     report("preprocess", s_pre, *args)
     report("+ binning", s_bin, *args)
     report("+ feature pack", s_pack, *args)
-    report("+ fwd kernel (plain)", s_fwd, *args)
-    report("+ fwd kernel (ckpt)", s_fwd_ckpt, *args)
+    report("+ fwd kernel", s_fwd, *args)
     report("full fwd (loss)", s_full_fwd, *args)
     report("fwd+bwd kernel-only grads", grad_kernel, *args)
     report("FULL fwd+bwd", grad_full, *args)
