@@ -70,6 +70,10 @@ def main():
             means, scales, quats, opac, shs, cam,
             max_instances=MAX_INSTANCES, interpret=not on_tpu,
             block_x=BLOCK[0], block_y=BLOCK[1],
+            # measured max 7 chunks/tile for this scene; 16 halves twice over
+            # the fwd-checkpoint HBM traffic vs the default 64 (the ckpt
+            # array is [tiles, max_chunks, npix] and is DMA'd in full)
+            max_chunks_per_tile=16,
         )
         return jnp.sum((out.color - gt) ** 2) + 0.1 * jnp.sum(out.acc)
 
