@@ -32,6 +32,7 @@ from typing import NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ..config import GsOptimParams
@@ -49,18 +50,16 @@ def expon_lr(step, lr_init: float, lr_final: float, lr_delay_mult: float = 1.0,
     optional sine-delayed warmup. NOTE the reference defines this but never
     constructs it in the live path (SURVEY §2.3) — provided as an optional
     optax-compatible schedule for longer offline optimizations."""
-    import numpy as _np
-
     if lr_init == 0.0 and lr_final == 0.0:
         return 0.0
     if lr_delay_steps > 0 and step != 0:
-        delay = lr_delay_mult + (1 - lr_delay_mult) * _np.sin(
-            0.5 * _np.pi * _np.clip(step / lr_delay_steps, 0.0, 1.0))
+        delay = lr_delay_mult + (1 - lr_delay_mult) * np.sin(
+            0.5 * np.pi * np.clip(step / lr_delay_steps, 0.0, 1.0))
     else:
         delay = 1.0
-    t = _np.clip(step / max_steps, 0.0, 1.0)
-    return float(delay * _np.exp(_np.log(lr_init) * (1 - t)
-                                 + _np.log(lr_final) * t))
+    t = np.clip(step / max_steps, 0.0, 1.0)
+    return float(delay * np.exp(np.log(lr_init) * (1 - t)
+                                + np.log(lr_final) * t))
 
 
 class LossMonitor:
@@ -281,6 +280,11 @@ class TrainMetrics(NamedTuple):
     delta: jnp.ndarray
     psnr: jnp.ndarray
     ssim: jnp.ndarray
+    # max binning overflow across this step's renders ([] int32): > 0 means
+    # the pallas budgets truncated instances (images + grads approximate);
+    # pipeline.IncrementalMapper escalates max_instances on a sustained
+    # streak (the CUDA resize-callback analog, rasterize_points.cu:36-44)
+    overflow: jnp.ndarray = np.int32(0)
 
 
 def render_params(params: GaussianParams, camera: Camera, bg_color,
@@ -329,9 +333,11 @@ def train_step(
         img_losses = []
         renders = []
         psnr0 = ssim0 = None
+        overflow = jnp.zeros((), jnp.int32)
         for i, cam in enumerate(cameras):
             out = render_params(p, cam, bg_color, settings)
             renders.append(out)
+            overflow = jnp.maximum(overflow, out.overflow)
             l1 = loss_ops.l1_loss(out.color, gt_images[i])
             ss = loss_ops.ssim(out.color, gt_images[i])
             img_losses.append(
@@ -357,9 +363,9 @@ def train_step(
             )
 
         total = image_total + s_loss + d_loss
-        return total, (image_total, s_loss, d_loss, psnr0, ssim0)
+        return total, (image_total, s_loss, d_loss, psnr0, ssim0, overflow)
 
-    (loss, (img_l, s_l, d_l, psnr0, ssim0)), grads = jax.value_and_grad(
+    (loss, (img_l, s_l, d_l, psnr0, ssim0, ovf)), grads = jax.value_and_grad(
         total_loss, has_aux=True, allow_int=True
     )(params)
     # int leaves (n_active) get float0 grads; give the optimizer a zero
@@ -369,6 +375,7 @@ def train_step(
     params = optax.apply_updates(params, updates)
     # n_active is integer bookkeeping, never optimized
     metrics = TrainMetrics(
-        loss=loss, image_loss=img_l, simi=s_l, delta=d_l, psnr=psnr0, ssim=ssim0
+        loss=loss, image_loss=img_l, simi=s_l, delta=d_l, psnr=psnr0,
+        ssim=ssim0, overflow=ovf,
     )
     return params, opt_state, metrics

@@ -107,6 +107,8 @@ def _rddg_bwd(settings, vjp, g):
         final_T=jnp.zeros_like(g.final_T),
         n_contrib=jnp.zeros_like(g.n_contrib),
         radii=jnp.zeros_like(g.radii),
+        overflow=jnp.zeros_like(g.overflow),
+        num_instances=jnp.zeros_like(g.num_instances),
     )
     return vjp(g_dropped)
 

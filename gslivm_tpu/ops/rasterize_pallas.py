@@ -673,6 +673,102 @@ def _pack_features(pre: PreprocessedGaussians, gauss_rank, dorder,
     return jnp.concatenate([inst, pad_rows], axis=0)
 
 
+class BandLayout(NamedTuple):
+    """Static geometry of a render_tiles_raw call (supertile units)."""
+
+    n_rows: int        # supertile rows rendered
+    sgrid_x: int       # supertile columns
+    sgrid_y: int       # full-image supertile rows
+    pw: int            # program pixel width  (16 * block_x)
+    ph: int            # program pixel height (16 * block_y)
+    dynamic_band: bool
+
+
+def render_tiles_raw(
+    pre: PreprocessedGaussians,
+    width: int,
+    height: int,
+    *,
+    max_instances: int = 2**20,
+    max_chunks_per_tile: int = 64,
+    interpret: bool | None = None,
+    tile_band: tuple[int, int] | None = None,
+    band_rows: int | None = None,
+    band_start=None,
+    tile_cull: bool = True,
+    capacity_slack: float = 0.6,
+    block_x: int = 1,
+    block_y: int = 1,
+):
+    """Bin + render an already-PREPROCESSED gaussian set to raw tile images.
+
+    Returns (band, binned, layout) where band is [8, n_rows*ph, sgrid_x*pw]
+    with rows (C0, C1, C2, D, A, T, n_contrib, neff). Rows 0-5 are
+    DIFFERENTIABLE — including transmittance T, which the primitive-sharded
+    renderer needs live for the depth-ordered partial-composite merge
+    (parallel/primitive.py); rasterize_pallas applies the reference's
+    stop-gradient contract on top.
+
+    Band arguments as in rasterize_pallas (all in SUPERTILE rows).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    grid_x, grid_y = tile_grid(width, height)
+    sgrid_x = -(-grid_x // block_x)
+    sgrid_y = -(-grid_y // block_y)
+    pw, ph = TILE * block_x, TILE * block_y
+    if pw * ph > 2048:
+        # (128, npix) f32 compute arrays: npix 4096 blows the 16 MB scoped
+        # VMEM limit in the backward kernel (measured on v5e)
+        raise ValueError(
+            f"block_x*block_y={block_x * block_y} > 8: program pixel block "
+            f"{pw}x{ph} exceeds the VMEM budget of the backward kernel")
+
+    dynamic_band = band_rows is not None
+    if dynamic_band:
+        y0 = jnp.asarray(band_start, jnp.int32)
+        n_rows = band_rows
+    else:
+        y0_i, y1_i = tile_band if tile_band is not None else (0, sgrid_y)
+        y0 = y0_i
+        n_rows = y1_i - y0_i
+
+    blocked = block_x != 1 or block_y != 1
+    cfg = PallasConfig(
+        grid_x=sgrid_x,
+        grid_y=n_rows,
+        max_chunks_per_tile=max_chunks_per_tile,
+        interpret=bool(interpret),
+        pw=pw,
+        ph=ph,
+        rect_test=blocked,
+    )
+
+    banded = dynamic_band or tile_band is not None
+    binned = bin_instances(
+        pre, width, height, max_instances, max_chunks_per_tile,
+        band_start=y0 if banded else None,
+        band_rows=n_rows if banded else None,
+        tile_cull=tile_cull, capacity_slack=capacity_slack,
+        block_x=block_x, block_y=block_y)
+    y_shift = (y0 * ph).astype(jnp.float32) if dynamic_band else float(y0 * ph)
+    inst = _pack_features(pre, binned.gauss_rank, binned.dorder,
+                          y_shift=y_shift if banded else 0.0,
+                          rect_rows=blocked)
+
+    tiles = _render_tiles(cfg, inst, binned.tile_offset, binned.tile_nchunks)
+
+    # [T, 8, npix] -> [8, band_h, Wp]
+    band = (
+        tiles.reshape(n_rows, sgrid_x, 8, ph, pw)
+        .transpose(2, 0, 3, 1, 4)
+        .reshape(8, n_rows * ph, sgrid_x * pw)
+    )
+    layout = BandLayout(n_rows=n_rows, sgrid_x=sgrid_x, sgrid_y=sgrid_y,
+                        pw=pw, ph=ph, dynamic_band=dynamic_band)
+    return band, binned, layout
+
+
 def rasterize_pallas(
     means,
     scales,
@@ -716,64 +812,23 @@ def rasterize_pallas(
     H, W = camera.height, camera.width
     if bg_color is None:
         bg_color = jnp.ones((3,), dtype=means.dtype)
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    grid_x, grid_y = tile_grid(W, H)
-    sgrid_x = -(-grid_x // block_x)
-    sgrid_y = -(-grid_y // block_y)
-    pw, ph = TILE * block_x, TILE * block_y
-    if pw * ph > 2048:
-        # (128, npix) f32 compute arrays: npix 4096 blows the 16 MB scoped
-        # VMEM limit in the backward kernel (measured on v5e)
-        raise ValueError(
-            f"block_x*block_y={block_x * block_y} > 8: program pixel block "
-            f"{pw}x{ph} exceeds the VMEM budget of the backward kernel")
-
-    dynamic_band = band_rows is not None
-    if dynamic_band:
-        y0 = jnp.asarray(band_start, jnp.int32)
-        n_rows = band_rows
-    else:
-        y0_i, y1_i = tile_band if tile_band is not None else (0, sgrid_y)
-        y0 = y0_i
-        n_rows = y1_i - y0_i
-
-    blocked = block_x != 1 or block_y != 1
-    cfg = PallasConfig(
-        grid_x=sgrid_x,
-        grid_y=n_rows,
-        max_chunks_per_tile=max_chunks_per_tile,
-        interpret=bool(interpret),
-        pw=pw,
-        ph=ph,
-        rect_test=blocked,
-    )
 
     pre = preprocess(
         means, scales, quats, opacities, shs, camera,
         sh_degree=sh_degree, scale_modifier=scale_modifier,
         active_mask=active_mask, colors_precomp=colors_precomp,
     )
-    banded = dynamic_band or tile_band is not None
-    binned = bin_instances(
-        pre, W, H, max_instances, max_chunks_per_tile,
-        band_start=y0 if banded else None,
-        band_rows=n_rows if banded else None,
+    band, binned, layout = render_tiles_raw(
+        pre, W, H, max_instances=max_instances,
+        max_chunks_per_tile=max_chunks_per_tile, interpret=interpret,
+        tile_band=tile_band, band_rows=band_rows, band_start=band_start,
         tile_cull=tile_cull, capacity_slack=capacity_slack,
         block_x=block_x, block_y=block_y)
-    y_shift = (y0 * ph).astype(jnp.float32) if dynamic_band else float(y0 * ph)
-    inst = _pack_features(pre, binned.gauss_rank, binned.dorder,
-                          y_shift=y_shift if banded else 0.0,
-                          rect_rows=blocked)
-
-    tiles = _render_tiles(cfg, inst, binned.tile_offset, binned.tile_nchunks)
-
-    # [T, 8, npix] -> [8, band_h, Wp]
-    band = (
-        tiles.reshape(n_rows, sgrid_x, 8, ph, pw)
-        .transpose(2, 0, 3, 1, 4)
-        .reshape(8, n_rows * ph, sgrid_x * pw)
-    )
+    n_rows, sgrid_x, sgrid_y = layout.n_rows, layout.sgrid_x, layout.sgrid_y
+    pw, ph = layout.pw, layout.ph
+    dynamic_band = layout.dynamic_band
+    if not dynamic_band:
+        y0 = tile_band[0] if tile_band is not None else 0
 
     def out_from(img, crop_h):
         color = img[0:3] + img[5][None] * bg_color[:, None, None]
@@ -784,6 +839,8 @@ def rasterize_pallas(
             final_T=jax.lax.stop_gradient(img[5]),
             n_contrib=jax.lax.stop_gradient(img[6]).astype(jnp.int32),
             radii=jax.lax.stop_gradient(pre.radius),
+            overflow=jax.lax.stop_gradient(binned.overflow),
+            num_instances=jax.lax.stop_gradient(binned.num_instances),
         )
 
     if dynamic_band:

@@ -31,6 +31,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import covariance as cov_ops
 from . import sh as sh_ops
@@ -289,6 +290,15 @@ class RenderOutput(NamedTuple):
     final_T: jnp.ndarray  # [H, W]
     n_contrib: jnp.ndarray  # [H, W] int32
     radii: jnp.ndarray  # [N]
+    # Binning diagnostics (stop-gradient; the TPU analog of the CUDA
+    # dynamic-resize callback's num_rendered, rasterize_points.cu:36-44):
+    # instances dropped by the static budgets, and the true expansion size.
+    # overflow > 0 means the most-occluded instances of the busiest tiles
+    # were truncated — images AND gradients are then approximate; consumers
+    # (training.TrainMetrics, pipeline.IncrementalMapper, bench.py) surface
+    # it and escalate max_instances. Always 0 for the oracle backend.
+    overflow: jnp.ndarray = np.int32(0)       # [] int32
+    num_instances: jnp.ndarray = np.int32(0)  # [] int32
 
 
 def rasterize_naive(
@@ -353,4 +363,6 @@ def rasterize_naive(
         final_T=jax.lax.stop_gradient(final_T.reshape(H, W)),
         n_contrib=n_contrib.reshape(H, W),
         radii=jax.lax.stop_gradient(pre.radius),
+        overflow=jnp.zeros((), jnp.int32),  # oracle composites everything
+        num_instances=jax.lax.stop_gradient(jnp.sum(pre.tiles_touched)),
     )

@@ -78,6 +78,14 @@ class IncrementalMapper:
         self.gt_images: list[np.ndarray] = []
         self._last_key_pose: tuple[np.ndarray, np.ndarray] | None = None
 
+        # binning-overflow watchdog (the TPU analog of the CUDA rasterizer's
+        # dynamic buffer resize callback, rasterize_points.cu:36-44): on a
+        # sustained overflow streak, double settings.max_instances — a
+        # host-side recompile at the next train_step, never silent truncation
+        self.last_overflow = 0
+        self._overflow_streak = 0
+        self.overflow_escalations = 0
+
         # loss anchors: voxel hash -> [k, 3] points (latest wins, like the
         # reference's GsForLosses merge, lioOptimization.cpp:459-476)
         self.loss_anchors: dict[int, np.ndarray] = {}
@@ -248,6 +256,20 @@ class IncrementalMapper:
         self.params = params
         self.opt_state = opt_state
         self.iter += 1
+
+        self.last_overflow = int(metrics.overflow)
+        if self.last_overflow > 0:
+            self._overflow_streak += 1
+            if self._overflow_streak >= 2:
+                # overflow sums both budget cuts (binning.py:308), so grow
+                # the expansion budget AND the per-tile chunk cap together
+                self.settings = self.settings._replace(
+                    max_instances=2 * self.settings.max_instances,
+                    max_chunks_per_tile=2 * self.settings.max_chunks_per_tile)
+                self.overflow_escalations += 1
+                self._overflow_streak = 0
+        else:
+            self._overflow_streak = 0
         return metrics
 
     # ------------------------------------------------------------------

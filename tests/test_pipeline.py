@@ -81,3 +81,37 @@ def test_end_to_end_mapping_improves_psnr():
     # structural-loss machinery engaged (anchors from converged cells)
     assert len(mapper.loss_anchors) > 0
     assert float(metrics.simi) >= 0.0
+
+
+def test_overflow_detection_and_escalation():
+    """Dense scene with a deliberately tiny instance budget: the overflow is
+    surfaced in TrainMetrics and the mapper escalates max_instances (the CUDA
+    resize-callback analog, rasterize_points.cu:36-44) until it vanishes."""
+    import dataclasses
+
+    from gslivm_tpu.config import GpParams
+
+    cfg = dataclasses.replace(Config(), gp=GpParams(grid=0.5))
+    frames = synthetic.make_sequence(n_frames=2, width=48, height=36,
+                                     points_per_frame=4000)
+    mapper = IncrementalMapper(
+        config=cfg,
+        settings=RasterizeSettings(backend="pallas", max_instances=128,
+                                   max_chunks_per_tile=1),
+        bootstrap_points=200,
+        initial_capacity=4096,
+    )
+    for fr in frames:
+        mapper.add_frame(fr)
+
+    m = mapper.train_iteration()
+    assert int(m.overflow) > 0  # truncation detected, not silent
+    budgets = [mapper.settings.max_instances]
+    for _ in range(12):
+        m = mapper.train_iteration()
+        budgets.append(mapper.settings.max_instances)
+        if int(m.overflow) == 0:
+            break
+    assert mapper.overflow_escalations >= 1
+    assert budgets[-1] > budgets[0]
+    assert int(m.overflow) == 0, f"budget growth never cleared overflow: {budgets}"

@@ -195,10 +195,16 @@ def test_instance_overflow_counted():
     pre = preprocess(means, scales, quats, opac, shs, cam)
     binned = bin_instances(pre, cam.width, cam.height, max_instances=8)
     assert int(binned.overflow) > 0
-    # and rendering still runs without error
+    # and rendering still runs without error AND surfaces the overflow
     out = rasterize_pallas(means, scales, quats, opac, shs, cam,
                            max_instances=8, interpret=True)
     assert np.all(np.isfinite(np.asarray(out.color)))
+    assert int(out.overflow) == int(binned.overflow) > 0
+    assert int(out.num_instances) == int(binned.num_instances)
+    # a sufficient budget reports zero overflow
+    ok = rasterize_pallas(means, scales, quats, opac, shs, cam,
+                          max_instances=1 << 14, interpret=True)
+    assert int(ok.overflow) == 0
 
 
 def test_tile_bands_compose_to_full_image():
