@@ -713,6 +713,9 @@ def render_tiles_raw(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    # the T-checkpoint array is [tiles, max_chunks, npix] and its per-tile
+    # HBM slice must be sublane(8)-aligned on the chunk dim (Mosaic tiling)
+    max_chunks_per_tile = -(-max_chunks_per_tile // 8) * 8
     grid_x, grid_y = tile_grid(width, height)
     sgrid_x = -(-grid_x // block_x)
     sgrid_y = -(-grid_y // block_y)

@@ -4,24 +4,25 @@ The reference has NO distributed runtime (single CUDA GPU, SURVEY §2.6);
 these are the TPU-native scaling axes designed in SURVEY §5/§7 phase 7:
 
   - "pixel" axis — data parallelism over the image: every device composites
-    a contiguous chunk of pixels (the analog of CUDA tile-blocks, spread
+    a contiguous band of pixels (the analog of CUDA tile-blocks, spread
     across chips); partial images are all_gathered to form the full frame.
-  - "gauss" axis — model parallelism over primitives: parameters (and Adam
-    state) are sharded on the capacity dim FSDP-style, all_gathered for
-    compute; the all_gather transposes to a psum-scatter of gradients in
-    the backward pass (XLA inserts the collectives).
+  - "gauss" axis — model parallelism over primitives. Two strategies:
+      renderer="oracle"/"pallas": parameters (and Adam state) are sharded
+        on the capacity dim FSDP-style and all_gathered for compute; the
+        all_gather transposes to a psum-scatter of gradients. Right for
+        small/medium maps (communication is the full parameter set).
+      renderer="primitive": NO parameter gather — each device preprocesses
+        its local shard, ONE all_to_all re-partitions the ~15-float screen
+        features into depth-rank slabs, each device renders its slab with
+        the production Pallas pipeline, and the depth-ordered associative
+        partial-composite merge (C <- C_a + T_a*C_b, T <- T_a*T_b)
+        reconstructs the exact frame (parallel/primitive.py). Per-device
+        memory and render work scale ~1/gauss — the 10M-gaussian axis.
 
 shard_map + jax.grad differentiate through the collectives, so one code
 path yields both the sharded forward and the correctly-reduced sharded
-gradients. The losses (L1 + DSSIM + simi) match `models/training.py`
-exactly; a CPU-mesh equivalence test pins them together.
-
-This module uses the oracle compositing math (`rasterize_reference`) inside
-shard_map — each device processes its pixel chunk over all (gathered)
-gaussians. Running the Pallas tile kernel per-device on a cropped tile grid
-is the planned next step for production scale (requires per-band tile
-binning; the binning already produces per-tile ranges, so the crop is a
-tile-offset slice).
+gradients. The losses (L1 + DSSIM + simi + delta-depth) match
+`models/training.py` exactly; CPU-mesh equivalence tests pin them together.
 """
 
 from __future__ import annotations
@@ -41,6 +42,7 @@ from ..models.cameras import Camera
 from ..models.gaussian_model import GaussianParams
 from ..ops import losses as loss_ops
 from ..ops.rasterize_reference import TILE, preprocess, depth_order, _composite_pixels
+from . import primitive
 
 
 def make_mesh(n_devices: int | None = None, gauss_axis: int | None = None) -> Mesh:
@@ -116,7 +118,7 @@ def _render_band_pallas(params: GaussianParams, camera: Camera, bg_color,
                         block: tuple[int, int] = (1, 1)):
     """Per-device Pallas band render inside shard_map: this device's band of
     SUPERTILE rows (16*block pixels each), reassembled across "pixel" by the
-    caller."""
+    caller. Returns ([5, band_h, W] rows color/depth/acc, overflow)."""
     from ..ops.rasterize_pallas import rasterize_pallas
 
     my_pixel = jax.lax.axis_index("pixel")
@@ -136,62 +138,172 @@ def _render_band_pallas(params: GaussianParams, camera: Camera, bg_color,
         block_x=block[0],
         block_y=block[1],
     )
-    return out.color  # [3, band_rows*16*block[1], W]
+    rows = jnp.concatenate(
+        [out.color, out.depth[None], out.acc[None]], axis=0)
+    return rows, out.overflow
+
+
+def _band_rows_for(cam: Camera, n_pixel: int, block: tuple[int, int]) -> int:
+    from ..ops.rasterize_reference import tile_grid
+
+    _, grid_y = tile_grid(cam.width, cam.height)
+    sgrid_y = -(-grid_y // block[1])  # supertile rows
+    return -(-sgrid_y // n_pixel)
+
+
+def _render_full_image(params, params_shard, cam: Camera, bg_color,
+                       renderer: str, max_instances: int,
+                       block: tuple[int, int], exchange_slack: float):
+    """One camera's FULL (replicated) color/depth/acc under the chosen
+    strategy, plus this step's binning/exchange overflow (psum-reduced).
+
+    `params` is the gathered parameter set (gather strategies) or None
+    (primitive); `params_shard` is the local shard."""
+    H, W = cam.height, cam.width
+    n_pixel = jax.lax.axis_size("pixel")
+    my_pixel = jax.lax.axis_index("pixel")
+    overflow = jnp.zeros((), jnp.int32)
+
+    if renderer == "primitive":
+        p = params_shard
+        pre = preprocess(
+            p.xyz, p.get_scaling(), p.get_rotation(),
+            p.get_opacity()[:, 0], p.get_features(), cam,
+            sh_degree=p.sh_degree, active_mask=p.active_mask(),
+        )
+        n_local = pre.depth.shape[0]
+        g = jax.lax.axis_size("gauss")
+        budget = min(n_local, max(1, -(-int(exchange_slack * n_local) // g)))
+        slab, ovf_ex = primitive.exchange_by_depth_slab(
+            pre, "gauss", budget_per_pair=budget)
+        band_rows = _band_rows_for(cam, n_pixel, block)
+        partial, ovf_bin = primitive.render_slab_band(
+            slab, W, H, band_rows, my_pixel * band_rows,
+            max_instances=max_instances, block=block)
+        merged = primitive.merge_partials(partial, "gauss")  # [6, bh, Wp]
+        full = jax.lax.all_gather(merged, "pixel", axis=1, tiled=True)
+        C, D, A, T = full[:3], full[3], full[4], full[5]
+        color = (C + T[None] * bg_color[:, None, None])[:, :H, :W]
+        depth = D[:H, :W]
+        acc = A[:H, :W]
+        overflow = ovf_ex + jax.lax.psum(ovf_bin, ("gauss", "pixel"))
+    elif renderer == "pallas":
+        band_rows = _band_rows_for(cam, n_pixel, block)
+        rows, ovf = _render_band_pallas(params, cam, bg_color, band_rows,
+                                        max_instances, block=block)
+        full = jax.lax.all_gather(rows, "pixel", axis=1, tiled=True)
+        color, depth, acc = full[:3, :H, :], full[3, :H, :], full[4, :H, :]
+        overflow = jax.lax.psum(ovf, ("gauss", "pixel"))
+    else:  # oracle
+        n_pix = H * W
+        chunk = -(-n_pix // n_pixel)
+        lo = my_pixel * chunk
+        color_c, depth_c, acc_c = _render_pixels_chunk(
+            params, cam, bg_color, lo, chunk)
+        rows = jnp.concatenate(
+            [color_c, depth_c[:, None], acc_c[:, None]], axis=1)  # [chunk, 5]
+        full = jax.lax.all_gather(rows, "pixel", axis=0, tiled=True)[:n_pix]
+        color = full[:, :3].reshape(H, W, 3).transpose(2, 0, 1)
+        depth = full[:, 3].reshape(H, W)
+        acc = full[:, 4].reshape(H, W)
+    return color, depth, acc, overflow
 
 
 def sharded_loss_fn(params_shard: GaussianParams, cameras: Sequence[Camera],
                     gt_images, simi: training.SimiInputs, bg_color,
                     opt_params: GsOptimParams, renderer: str = "oracle",
                     max_instances: int = 2**18,
-                    block: tuple[int, int] = (1, 1)):
+                    block: tuple[int, int] = (1, 1),
+                    n_history_pairs: int = 0,
+                    exchange_slack: float = 4.0):
     """Per-device loss inside shard_map; differentiable through collectives.
 
-    renderer="oracle": pixel-chunk compositing with the naive math.
-    renderer="pallas": per-device Pallas TILE-BAND rendering — the
-    production path (each chip runs the full binning+kernel pipeline on its
-    band of tile rows).
-    """
-    params = _gather_params(params_shard)
+    renderer="oracle": pixel-chunk compositing with the naive math (CPU
+      verification path; params all_gathered).
+    renderer="pallas": per-device Pallas TILE-BAND rendering of the FULL
+      (gathered) gaussian set — production path for replicable maps.
+    renderer="primitive": depth-slab re-partition + per-slab Pallas render +
+      depth-ordered partial-composite merge — NO parameter gather; the
+      10M-gaussian axis (parallel/primitive.py).
 
-    n_pixel = jax.lax.axis_size("pixel")
-    my_pixel = jax.lax.axis_index("pixel")
+    Loss/metric parity with models.training.train_step: per-camera
+    (1-λ)L1 + λ·DSSIM, simi, and delta-depth over the LAST 2*n_history_pairs
+    cameras (depth stop-gradiented — the reference's depth-grad-drop
+    contract, rasterizer.cu:79). Returns (total, TrainMetrics aux).
+    """
+    params = None
+    if renderer != "primitive":
+        params = _gather_params(params_shard)
 
     total = jnp.zeros(())
+    image_total = jnp.zeros(())
+    psnr0 = ssim0 = None
+    overflow = jnp.zeros((), jnp.int32)
+    depths, accs = [], []
     for i, cam in enumerate(cameras):
-        H, W = cam.height, cam.width
-        if renderer == "pallas":
-            from ..ops.rasterize_reference import tile_grid
-
-            _, grid_y = tile_grid(W, H)
-            sgrid_y = -(-grid_y // block[1])  # supertile rows
-            band_rows = -(-sgrid_y // n_pixel)
-            band = _render_band_pallas(params, cam, bg_color, band_rows,
-                                       max_instances, block=block)
-            full = jax.lax.all_gather(band, "pixel", axis=1, tiled=True)
-            img = full[:, :H, :]
-        else:
-            n_pix = H * W
-            chunk = -(-n_pix // n_pixel)
-            lo = my_pixel * chunk
-            color_c, _, _ = _render_pixels_chunk(params, cam, bg_color, lo,
-                                                 chunk)
-            full = jax.lax.all_gather(color_c, "pixel", axis=0,
-                                      tiled=True)[:n_pix]
-            img = full.reshape(H, W, 3).transpose(2, 0, 1)
+        img, depth, acc, ovf = _render_full_image(
+            params, params_shard, cam, bg_color, renderer, max_instances,
+            block, exchange_slack)
+        depths.append(depth)
+        accs.append(acc)
+        overflow = jnp.maximum(overflow, ovf)
         l1 = loss_ops.l1_loss(img, gt_images[i])
         ss = loss_ops.ssim(img, gt_images[i])
-        total = total + (1.0 - opt_params.lambda_dssim) * l1 + \
+        image_total = image_total + (1.0 - opt_params.lambda_dssim) * l1 + \
             opt_params.lambda_dssim * (1.0 - ss)
+        if i == 0:
+            psnr0 = loss_ops.psnr(img, gt_images[i])
+            ssim0 = ss
+    total = total + image_total
 
-    total = total + opt_params.lambda_depth_simi * training.simi_loss(params, simi)
-    # the value is already identical on every device (full images + gathered
-    # params); pmean makes that replication statically provable to shard_map
-    return jax.lax.pmean(total, ("gauss", "pixel"))
+    if renderer == "primitive":
+        s_loss = opt_params.lambda_depth_simi * primitive.sharded_simi_loss(
+            params_shard.xyz, params_shard.get_scaling(), simi, "gauss")
+    else:
+        s_loss = opt_params.lambda_depth_simi * training.simi_loss(params, simi)
+    total = total + s_loss
+
+    d_loss = jnp.zeros(())
+    n = len(cameras)
+    for k in range(n_history_pairs):
+        ia = n - 2 * n_history_pairs + 2 * k
+        ib = ia + 1
+        # depth grads dropped (reference contract); acc is mask-only
+        d_loss = d_loss + opt_params.lambda_delta_depth_simi * \
+            training.delta_depth_loss(
+                jax.lax.stop_gradient(depths[ia]), accs[ia], cameras[ia],
+                jax.lax.stop_gradient(depths[ib]), accs[ib], cameras[ib])
+    total = total + d_loss
+
+    # every value below is already identical on all devices (full images +
+    # psum-reduced scalars); pmean makes that replication statically provable
+    axes = ("gauss", "pixel")
+    vma_tracked = renderer == "oracle"  # pallas paths run check_vma=False
+
+    def rep(x, reduce=jax.lax.pmean):
+        # under vma tracking, promote to varying on any axis the tracker
+        # knows the value is invariant over (per-term states differ: e.g.
+        # the simi loss is varying on "gauss" only), then reduce over both;
+        # with check_vma off the collectives are unchecked (and pcast's
+        # transpose would reject the untracked cotangent), so reduce directly
+        if vma_tracked:
+            missing = tuple(a for a in axes if a not in jax.typeof(x).vma)
+            if missing:
+                x = jax.lax.pcast(x, missing, to="varying")
+        return reduce(x, axes)
+
+    metrics = training.TrainMetrics(
+        loss=rep(total), image_loss=rep(image_total), simi=rep(s_loss),
+        delta=rep(d_loss), psnr=rep(psnr0), ssim=rep(ssim0),
+        overflow=rep(overflow, reduce=jax.lax.pmax),
+    )
+    return rep(total), metrics
 
 
 @functools.partial(
     jax.jit, static_argnames=("mesh", "opt_params", "renderer",
-                              "max_instances", "block")
+                              "max_instances", "block", "n_history_pairs",
+                              "exchange_slack")
 )
 def sharded_train_step(
     mesh: Mesh,
@@ -205,11 +317,15 @@ def sharded_train_step(
     renderer: str = "oracle",
     max_instances: int = 2**18,
     block: tuple[int, int] = (1, 1),
+    n_history_pairs: int = 0,
+    exchange_slack: float = 4.0,
 ):
     """One training step with gauss-sharded params + pixel-sharded render.
 
     params/opt_state arrive sharded over "gauss" (see shard_params);
-    cameras/gt/simi are replicated. Returns (params, opt_state, loss).
+    cameras/gt/simi are replicated. The LAST 2*n_history_pairs cameras form
+    delta-depth pairs, mirroring training.train_step. Returns
+    (params, opt_state, TrainMetrics) — metrics.loss is the total loss.
     """
     if bg_color is None:
         bg_color = jnp.ones((3,), jnp.float32)
@@ -228,33 +344,36 @@ def sharded_train_step(
         p_shard = GaussianParams(n_active=n_active, **floats)
         return sharded_loss_fn(p_shard, cameras, gt_images, simi, bg_color,
                                opt_params, renderer=renderer,
-                               max_instances=max_instances, block=block)
+                               max_instances=max_instances, block=block,
+                               n_history_pairs=n_history_pairs,
+                               exchange_slack=exchange_slack)
 
-    check_vma = renderer != "pallas"
+    check_vma = renderer == "oracle"
 
     def vg_local(floats, n_active):
-        loss, g = jax.value_and_grad(loss_for_grad, argnums=0)(floats, n_active)
+        (loss, metrics), g = jax.value_and_grad(
+            loss_for_grad, argnums=0, has_aux=True)(floats, n_active)
         if not check_vma:
             # with check_vma off, the transpose does not auto-insert the
             # reduction over axes the inputs are replicated on: the float
             # shards are replicated across "pixel", so their grads must be
             # summed across it explicitly
             g = jax.tree.map(lambda x: jax.lax.psum(x, "pixel"), g)
-        return loss, g
+        return loss, metrics, g
 
     vg_fn = jax.shard_map(
         vg_local,
         mesh=mesh,
         in_specs=(float_specs, P()),
-        out_specs=(P(), float_specs),
+        out_specs=(P(), P(), float_specs),
         # pallas_call outputs don't carry varying-across-mesh annotations
-        # yet, so the vma check must be off for the pallas renderer;
+        # yet, so the vma check must be off for the pallas renderers;
         # replication of the loss is guaranteed by the pmean in the loss
         check_vma=check_vma,
     )
-    loss, gfloats = vg_fn(floats, params.n_active)
+    _, metrics, gfloats = vg_fn(floats, params.n_active)
     grads = GaussianParams(n_active=jnp.zeros((), jnp.float32), **gfloats)
 
     updates, opt_state = optimizer.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
-    return params, opt_state, loss
+    return params, opt_state, metrics
