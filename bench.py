@@ -10,7 +10,11 @@ BASELINE.md).
 
 Run on the real TPU chip. Measures steady-state time of a jitted
 value_and_grad through the full rasterization pipeline (preprocess +
-binning + sort + Pallas fwd + Pallas bwd + gradient scatter).
+binning + sort + Pallas fwd + Pallas bwd + gradient scatter), PLUS the
+FULL training-step rate (render + L1 + SSIM + simi + 6-group Adam — the
+optimize_vis iteration, lioOptimization.cpp:1660-1846) reported in
+extra.train_step_*. Binning overflow is asserted zero — budgets must be
+lossless for the measured scene, never silently truncating.
 """
 
 from __future__ import annotations
@@ -79,6 +83,16 @@ def main():
 
     step = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))
 
+    # overflow gate: the budgets must be lossless for this scene (VERDICT r1
+    # weak #3 — no hand-fitting below lossless)
+    probe = rasterize_pallas(
+        means, scales, quats, opac, shs, cam, max_instances=MAX_INSTANCES,
+        interpret=not on_tpu, block_x=BLOCK[0], block_y=BLOCK[1],
+        max_chunks_per_tile=16)
+    assert int(probe.overflow) == 0, (
+        f"bench budgets truncate {int(probe.overflow)} instances "
+        f"(expansion {int(probe.num_instances)})")
+
     # compile + warmup
     g = step(means, scales, quats, opac, shs)
     jax.block_until_ready(g)
@@ -88,6 +102,44 @@ def main():
         g = step(means, scales, quats, opac, shs)
     jax.block_until_ready(g)
     dt = (time.perf_counter() - t0) / ITERS
+
+    # ---- full train-step rate (render + L1 + SSIM + simi + Adam) ----------
+    import jax.numpy as jnp  # noqa: F811 (already imported above)
+
+    from gslivm_tpu.models import gaussian_model as gm
+    from gslivm_tpu.models import training
+    from gslivm_tpu.ops.rasterize import RasterizeSettings
+
+    params = gm.GaussianParams(
+        xyz=means,
+        features_dc=shs,
+        features_rest=jnp.zeros((n, 0, 3), jnp.float32),
+        scaling=jnp.log(scales),
+        rotation=quats,
+        opacity=jnp.log(opac / (1.0 - opac))[:, None],
+        n_active=jnp.asarray(n, jnp.int32),
+    )
+    settings = RasterizeSettings(
+        backend="pallas" if on_tpu else "naive",
+        max_instances=MAX_INSTANCES, max_chunks_per_tile=16,
+        block_x=BLOCK[0], block_y=BLOCK[1])
+    optimizer = training.make_optimizer(training.GsOptimParams())
+    opt_state = optimizer.init(params)
+    simi = training.empty_simi(max_gauss=2048)
+    gt_b = gt[None]
+
+    p1, o1, m1 = training.train_step(params, opt_state, [cam], gt_b, simi,
+                                     settings=settings)
+    jax.block_until_ready(p1.xyz)
+    assert int(m1.overflow) == 0, "train-step render overflowed"
+
+    t0 = time.perf_counter()
+    p, o = params, opt_state
+    for _ in range(ITERS):
+        p, o, m = training.train_step(p, o, [cam], gt_b, simi,
+                                      settings=settings)
+    jax.block_until_ready(p.xyz)
+    dt_train = (time.perf_counter() - t0) / ITERS
 
     mrays = WIDTH * HEIGHT / dt / 1e6
     print(json.dumps({
@@ -99,6 +151,9 @@ def main():
             "n_gaussians": n,
             "ms_per_step": round(dt * 1e3, 2),
             "fps_equiv": round(1.0 / dt, 2),
+            "train_step_ms": round(dt_train * 1e3, 2),
+            "train_step_fps": round(1.0 / dt_train, 2),
+            "train_step_mrays": round(WIDTH * HEIGHT / dt_train / 1e6, 2),
             "device": str(jax.devices()[0]),
         },
     }))

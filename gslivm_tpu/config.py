@@ -128,10 +128,17 @@ class CommonOptions:
     """common: + lidar_parameter: sections of basic_common.yaml:1-8."""
 
     point_filter_num: int = 4
-    image_filter_num: int = 1
+    image_filter_num: int = 1  # every Nth image (LivoFrontend.push_image)
+    # accepted-but-unused, matching the reference: time_sync_en appears in
+    # basic_common.yaml:4 but is read nowhere in its source either
     time_sync_en: bool = False
     blind: float = 0.1
     det_range: float = 100.0
+    # lidar_parameter/lidar_type (cloudProcessing.h:25 LID_TYPE enum; the
+    # reference encodes 1..5, the dataset yamls pick per sensor) — governs
+    # the per-vendor time-field decode + sort/clip/decimate normalization
+    # (sensors.filter_sweep, rosbag.decode_pointcloud2)
+    lidar_type: str = "livox"  # livox|velodyne|ouster|robosense|pandar
 
 
 @dataclasses.dataclass(frozen=True)

@@ -71,6 +71,7 @@ class LivoFrontend:
         self.frames_out: list[Frame] = []
         self._last_q = np.array([1.0, 0, 0, 0])
         self._last_p = np.zeros(3)
+        self._image_index = 0  # image_filter_num decimation counter
 
     # ------------------------------- inputs -------------------------------
 
@@ -83,6 +84,13 @@ class LivoFrontend:
         self._drain()
 
     def push_image(self, t, image):
+        # common/image_filter_num decimation: only every Nth image enters
+        # the pipeline (imageHandler/compressedImageHandler gate,
+        # lioOptimization.cpp:788,817)
+        idx = self._image_index
+        self._image_index += 1
+        if idx % max(self.cfg.common.image_filter_num, 1) != 0:
+            return
         image = np.asarray(image)
         if self.image_resize_ratio != 1.0:
             import cv2

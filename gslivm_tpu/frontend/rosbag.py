@@ -139,12 +139,26 @@ def decode_imu(raw: bytes) -> ImuSample:
     return ImuSample(stamp, np.asarray(gyr), np.asarray(acc))
 
 
-def decode_pointcloud2(raw: bytes, stamp: float) -> LidarSweep:
+def decode_pointcloud2(raw: bytes, stamp: float,
+                       lidar_type: str = "auto") -> LidarSweep:
     """sensor_msgs/PointCloud2 -> LidarSweep with per-point relative time.
 
-    Relative-time field conventions handled like cloudProcessing.cpp:
-    velodyne 'time' (s), ouster 't' (ns), robosense/pandar 'timestamp'
-    (absolute s, re-based to the scan start)."""
+    Per-vendor time-field semantics (cloudProcessing.cpp:159-368):
+      velodyne ('time'):     seconds from scan start; t_begin = header stamp
+      ouster ('t'):          NANOseconds from scan start (tm_scale=1e9,
+                             :221); t_begin = header stamp
+      robosense ('timestamp'): ABSOLUTE per-point epoch seconds; rel is
+                             re-based to the earliest point and t_begin is
+                             that earliest stamp — the reference keeps the
+                             points' own epoch (point.timestamp, :305), NOT
+                             header+rel
+      pandar ('timestamp'):  absolute stamps re-based to the earliest, but
+                             absolute time = header + rel (:351 quirk —
+                             the header epoch wins over the point epoch)
+
+    lidar_type="auto" infers from the field table (time->velodyne,
+    t->ouster, timestamp->robosense); pass it explicitly (config
+    CommonOptions.lidar_type) to pin the pandar-vs-robosense epoch quirk."""
     pos, hdr_stamp = _skip_std_header(raw)
     height, width = struct.unpack_from("<II", raw, pos)
     pos += 8
@@ -180,23 +194,35 @@ def decode_pointcloud2(raw: bytes, stamp: float) -> LidarSweep:
     intensity = np_fields.get(
         "intensity", np.zeros(n, np.float32)).astype(np.float32)
 
-    if "time" in np_fields:       # velodyne: seconds from scan start
+    t_begin = stamp
+    if lidar_type in ("auto", "livox"):  # livox PointCloud2 -> infer fields
+        if "time" in np_fields:
+            lidar_type = "velodyne"
+        elif "t" in np_fields:
+            lidar_type = "ouster"
+        elif "timestamp" in np_fields:
+            lidar_type = "robosense"
+        else:
+            lidar_type = "unknown"
+    if lidar_type == "velodyne":   # 'time': seconds from scan start
         rel = np_fields["time"].astype(np.float64)
-    elif "t" in np_fields:        # ouster: nanoseconds from scan start
+    elif lidar_type == "ouster":   # 't': NANOseconds from scan start
         rel = np_fields["t"].astype(np.float64) * 1e-9
-    elif "timestamp" in np_fields:  # robosense/pandar: absolute seconds
+    elif lidar_type in ("robosense", "pandar"):  # absolute epoch stamps
         ts = np_fields["timestamp"].astype(np.float64)
-        rel = ts - (ts.min() if n else 0.0)
+        ts0 = ts.min() if n else 0.0
+        rel = ts - ts0
+        if lidar_type == "robosense":
+            t_begin = ts0  # keep the points' own epoch (:305)
     else:
         rel = np.zeros(n)
-    rel = rel - (rel.min() if n else 0.0)
-    return LidarSweep(stamp, xyz, rel, intensity)
+    return LidarSweep(t_begin, xyz, rel, intensity)
 
 
 def decode_livox_custom(raw: bytes, stamp: float,
                         tag_filter: bool = True) -> LidarSweep:
     """livox_ros_driver/CustomMsg (livoxHandler, cloudProcessing.cpp:119-157
-    incl. the `(tag & 0x30) == 0x10` return-type filter)."""
+    incl. the `(tag & 0x30) == 0x10 || == 0x00` return-type filter :141)."""
     pos, _ = _skip_std_header(raw)
     (timebase,) = struct.unpack_from("<Q", raw, pos)
     pos += 8
@@ -208,8 +234,8 @@ def decode_livox_custom(raw: bytes, stamp: float,
                     ("line", "u1")])
     pts = np.frombuffer(raw, dtype=rec, count=point_num, offset=pos)
     if tag_filter:
-        keep = (pts["tag"] & 0x30) == 0x10
-        pts = pts[keep]
+        rt = pts["tag"] & 0x30
+        pts = pts[(rt == 0x10) | (rt == 0x00)]
     xyz = np.stack([pts["x"], pts["y"], pts["z"]], axis=1).astype(np.float64)
     rel = pts["offset_time"].astype(np.float64) * 1e-9
     return LidarSweep(stamp, xyz, rel,
@@ -293,12 +319,12 @@ def decode_odometry(raw: bytes) -> PoseSample:
     return _decode_pose_at(raw, off + 4 + clen, stamp)
 
 
-def decode(msg: BagMessage):
+def decode(msg: BagMessage, lidar_type: str = "auto"):
     """Route a BagMessage to the matching sensor record."""
     if msg.datatype == "sensor_msgs/Imu":
         return decode_imu(msg.raw)
     if msg.datatype == "sensor_msgs/PointCloud2":
-        return decode_pointcloud2(msg.raw, msg.t)
+        return decode_pointcloud2(msg.raw, msg.t, lidar_type=lidar_type)
     if msg.datatype == "livox_ros_driver/CustomMsg":
         return decode_livox_custom(msg.raw, msg.t)
     if msg.datatype == "sensor_msgs/CompressedImage":
@@ -316,8 +342,10 @@ def play_bag(path: str, frontend, imu_topic: str, lidar_topic: str,
              image_topic: str, limit_messages: int | None = None):
     """Stream a bag into a LivoFrontend (the rosbag-play + subscriber loop)."""
     count = 0
+    lidar_type = frontend.cfg.common.lidar_type if hasattr(frontend, "cfg") \
+        else "auto"
     for msg in read_bag(path, {imu_topic, lidar_topic, image_topic}):
-        rec = decode(msg)
+        rec = decode(msg, lidar_type=lidar_type)
         if isinstance(rec, ImuSample):
             frontend.push_imu(rec.t, rec.gyr, rec.acc)
         elif isinstance(rec, LidarSweep):

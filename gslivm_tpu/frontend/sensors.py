@@ -49,21 +49,37 @@ class ImageSample(NamedTuple):
 
 
 def filter_sweep(sweep: LidarSweep, opts: CommonOptions = CommonOptions(),
-                 sort_by_time: bool = True, max_rel_time: float = 0.1
+                 lidar_type: str | None = None, max_rel_time: float = 0.1
                  ) -> LidarSweep:
-    """cloudProcessing per-point filters: blind/det_range, decimation,
-    optional time sort + clip (Velodyne path, cloudProcessing.cpp:159-213)."""
-    r = np.linalg.norm(sweep.xyz, axis=1)
-    keep = (r > opts.blind) & (r < opts.det_range)
-    keep &= np.isfinite(sweep.xyz).all(axis=1)
-    idx = np.nonzero(keep)[0][:: max(opts.point_filter_num, 1)]
-    xyz, rel, inten = sweep.xyz[idx], sweep.rel_time[idx], sweep.intensity[idx]
-    if sort_by_time and rel.size:
+    """Per-vendor sweep normalization + filters (cloudProcessing.cpp):
+
+      livox    : decimate -> range cull                          (:119-157)
+      velodyne : time-sort -> clip rel>=0.1s -> decimate -> cull (:159-213)
+      ouster   : decimate -> cull (no sort/clip)                 (:215-257)
+      robosense: time-sort -> clip -> cull, NO decimation quirk
+                 (the handler loop omits the i%point_filter_num
+                 test)                                           (:259-311)
+      pandar   : time-sort -> clip -> decimate -> cull           (:313-368)
+
+    Decimation keeps RAW indices i % point_filter_num == 0 BEFORE the range
+    cull (the reference's loop order — a culled point still advances i).
+    The per-vendor time-UNIT normalization (Ouster ns, Robosense/Pandar
+    absolute stamps) happens at decode (rosbag.decode_pointcloud2); rel_time
+    here is always seconds from t_begin."""
+    lt = lidar_type if lidar_type is not None else opts.lidar_type
+    xyz, rel, inten = sweep.xyz, sweep.rel_time, sweep.intensity
+    if lt in ("velodyne", "robosense", "pandar") and rel.size:
         order = np.argsort(rel, kind="stable")
         xyz, rel, inten = xyz[order], rel[order], inten[order]
-        clip = rel <= max_rel_time
+        clip = rel < max_rel_time  # pop-while >= 0.1 (cloudProcessing:176)
         xyz, rel, inten = xyz[clip], rel[clip], inten[clip]
-    return LidarSweep(sweep.t_begin, xyz, rel, inten)
+    if lt != "robosense":
+        idx = np.arange(xyz.shape[0])[:: max(opts.point_filter_num, 1)]
+        xyz, rel, inten = xyz[idx], rel[idx], inten[idx]
+    r = np.linalg.norm(xyz, axis=1)
+    keep = (r > opts.blind) & (r < opts.det_range)
+    keep &= np.isfinite(xyz).all(axis=1)
+    return LidarSweep(sweep.t_begin, xyz[keep], rel[keep], inten[keep])
 
 
 class Measurement(NamedTuple):
@@ -130,6 +146,9 @@ class MeasurementSync:
         )
 
     def get(self) -> list[Measurement]:
+        """Drain ALL ready packets (the reference's getMeasurements loops
+        until no packet can be formed, lioOptimization.cpp:852-958 — a burst
+        of buffered lidar/images must not be rationed one packet per push)."""
         out = []
         while True:
             if not self.imu or not self.images or not self.points:
@@ -158,4 +177,4 @@ class MeasurementSync:
                 m = self._emit(img.t, img.image, rendering=True)
             if m is not None:
                 out.append(m)
-            return out
+            # loop: keep emitting while further packets are ready

@@ -25,10 +25,75 @@ def test_filter_sweep_rules(rng):
                     [4.0, 0, 0]])
     rel = np.array([0.0, 0.05, 0.01, 0.2, 0.03, 0.01])
     out = filter_sweep(_sweep(0.0, xyz, rel),
-                       CommonOptions(point_filter_num=1), max_rel_time=0.1)
-    # blind + det_range + >0.1s rel-time removed; sorted by time
+                       CommonOptions(point_filter_num=1),
+                       lidar_type="velodyne", max_rel_time=0.1)
+    # blind + det_range + >=0.1s rel-time removed; sorted by time
     assert out.xyz.shape[0] == 3
     assert np.all(np.diff(out.rel_time) >= 0)
+
+
+def test_filter_sweep_vendor_quirks():
+    """Per-vendor normalization differences (cloudProcessing.cpp:119-368):
+    livox/ouster keep arrival order and never time-clip; robosense skips
+    point_filter_num decimation; decimation indexes RAW positions."""
+    xyz = np.tile(np.array([[2.0, 0.0, 0.0]]), (8, 1))
+    rel = np.array([0.05, 0.2, 0.01, 0.15, 0.03, 0.02, 0.04, 0.06])
+    opts = CommonOptions(point_filter_num=2)
+    sweep = _sweep(0.0, xyz, rel)
+
+    livox = filter_sweep(sweep, opts, lidar_type="livox")
+    assert livox.xyz.shape[0] == 4  # raw indices 0,2,4,6; no clip
+    np.testing.assert_allclose(livox.rel_time, rel[[0, 2, 4, 6]])
+
+    ouster = filter_sweep(sweep, opts, lidar_type="ouster")
+    np.testing.assert_allclose(ouster.rel_time, rel[[0, 2, 4, 6]])
+
+    velo = filter_sweep(sweep, opts, lidar_type="velodyne")
+    # sort -> [0.01..0.2], clip >= 0.1 leaves 6, decimate raw 0,2,4
+    np.testing.assert_allclose(velo.rel_time, [0.01, 0.03, 0.05])
+
+    robo = filter_sweep(sweep, opts, lidar_type="robosense")
+    # sort + clip, NO decimation (the reference handler omits it)
+    assert robo.xyz.shape[0] == 6
+    np.testing.assert_allclose(robo.rel_time,
+                               [0.01, 0.02, 0.03, 0.04, 0.05, 0.06])
+
+    pandar = filter_sweep(sweep, opts, lidar_type="pandar")
+    np.testing.assert_allclose(pandar.rel_time, [0.01, 0.03, 0.05])
+
+
+def test_measurement_sync_burst_drains_all(rng):
+    """A burst of buffered sweeps/images must drain in ONE get() call — the
+    reference's getMeasurements loops until no packet can be formed
+    (lioOptimization.cpp:852-958); rationing one packet per push starves
+    the pipeline."""
+    sync = MeasurementSync(sweep_interval=0.1)
+    for i in range(200):
+        sync.push_imu(ImuSample(i * 0.01, np.zeros(3), np.array([0, 0, 9.81])))
+    for k in range(10):
+        pts = rng.normal(0, 1, (30, 3)) + [0, 0, 5]
+        sync.push_sweep(_sweep(0.05 + 0.1 * k, pts, np.linspace(0, 0.09, 30)))
+    for k in range(8):
+        sync.push_image(ImageSample(0.1 + 0.1 * k,
+                                    np.zeros((4, 4, 3), np.uint8)))
+
+    out = sync.get()
+    assert len(out) == 8  # every ready packet in one call
+    assert all(m.rendering for m in out)
+    for k, m in enumerate(out):
+        assert m.time_image == pytest.approx(0.1 + 0.1 * k)
+    assert sync.get() == []  # drained
+
+
+def test_image_filter_num_decimation():
+    """common/image_filter_num gates images at the handler
+    (lioOptimization.cpp:788,817): only every Nth enters the sync."""
+    cfg = Config(common=CommonOptions(image_filter_num=3))
+    fe = LivoFrontend(config=cfg, width=8, height=8, fx=4, fy=4, cx=4, cy=4)
+    img = np.zeros((8, 8, 3), np.uint8)
+    for i in range(7):
+        fe.push_image(float(i), img)
+    assert len(fe.sync.images) == 3  # indices 0, 3, 6
 
 
 def test_measurement_sync_packets(rng):

@@ -236,3 +236,75 @@ icp:
     assert res.returncode == 0, res.stderr[-2000:]
     produced = set(__import__("os").listdir(out))
     assert {"map.ply", "pose.txt", "log_time.txt", "training"} <= produced, produced
+
+
+def _pc2_msg_generic(xyz, tvals, tname, tdtype, secs=10, nsecs=500000000):
+    """PointCloud2 with a vendor-specific time field.
+
+    tdtype: PC2 datatype code (6=u4, 7=f4, 8=f8)."""
+    n = len(xyz)
+    tsize = {6: 4, 7: 4, 8: 8}[tdtype]
+    fields = [("x", 0, 7, 1), ("y", 4, 7, 1), ("z", 8, 7, 1),
+              ("intensity", 12, 7, 1), (tname, 16, tdtype, 1)]
+    fbytes = b""
+    for name, off, dt, cnt in fields:
+        nb = name.encode()
+        fbytes += struct.pack("<I", len(nb)) + nb + struct.pack("<IBI", off, dt, cnt)
+    step = 16 + tsize
+    tfmt = {6: "<I", 7: "<f", 8: "<d"}[tdtype]
+    buf = b""
+    for p, t in zip(xyz, tvals):
+        buf += struct.pack("<4f", p[0], p[1], p[2], 1.0)
+        buf += struct.pack(tfmt, int(t) if tdtype == 6 else t)
+    return (_std_header(secs, nsecs) + struct.pack("<II", 1, n)
+            + struct.pack("<I", len(fields)) + fbytes
+            + bytes([0]) + struct.pack("<II", step, step * n)
+            + struct.pack("<I", len(buf)) + buf)
+
+
+def test_pc2_vendor_time_units():
+    """Per-vendor time decode (cloudProcessing.cpp:159-368): Ouster 't' is
+    NANOseconds; Robosense 'timestamp' is absolute epoch (points keep their
+    own epoch -> t_begin = earliest stamp); Pandar 'timestamp' is absolute
+    but the header epoch wins (t_begin = header stamp)."""
+    xyz = [(1.0, 0, 0), (2.0, 0, 0), (3.0, 0, 0)]
+    header_t = 10.5
+
+    # ouster: t in ns
+    raw = _pc2_msg_generic(xyz, [0, 50_000_000, 90_000_000], "t", 6)
+    sw = rosbag.decode_pointcloud2(raw, header_t, lidar_type="ouster")
+    np.testing.assert_allclose(sw.rel_time, [0.0, 0.05, 0.09], atol=1e-9)
+    assert sw.t_begin == header_t
+
+    # robosense: absolute epoch seconds; rel rebased, t_begin = earliest
+    ts0 = 2000.25
+    raw = _pc2_msg_generic(xyz, [ts0 + 0.02, ts0, ts0 + 0.08], "timestamp", 8)
+    sw = rosbag.decode_pointcloud2(raw, header_t, lidar_type="robosense")
+    np.testing.assert_allclose(sw.rel_time, [0.02, 0.0, 0.08], atol=1e-9)
+    assert sw.t_begin == ts0  # point epoch, NOT the header stamp
+
+    # pandar: same field, but header epoch wins (quirk :351)
+    sw = rosbag.decode_pointcloud2(raw, header_t, lidar_type="pandar")
+    np.testing.assert_allclose(sw.rel_time, [0.02, 0.0, 0.08], atol=1e-9)
+    assert sw.t_begin == header_t
+
+    # auto-inference: 't' field -> ouster ns semantics
+    raw = _pc2_msg_generic(xyz, [0, 50_000_000, 90_000_000], "t", 6)
+    sw = rosbag.decode_pointcloud2(raw, header_t)
+    np.testing.assert_allclose(sw.rel_time, [0.0, 0.05, 0.09], atol=1e-9)
+
+
+def test_livox_tag_filter_accepts_both_returns(tmp_path):
+    """(tag & 0x30) == 0x10 OR == 0x00 pass (cloudProcessing.cpp:141) —
+    only 0x20/0x30 return types are dropped."""
+    xyz = [(1.0, 0, 0), (2.0, 0, 0), (3.0, 0, 0), (4.0, 0, 0)]
+    recs = [
+        _conn_record(0, "/livox", "livox_ros_driver/CustomMsg"),
+        _msg_record(0, 5.0, _livox_msg(xyz, [0, 1000, 2000, 3000],
+                                       [0x10, 0x00, 0x20, 0x30])),
+    ]
+    path = str(tmp_path / "livox2.bag")
+    _write_bag(path, recs)
+    sweep = rosbag.decode(next(iter(rosbag.read_bag(path))))
+    assert sweep.xyz.shape[0] == 2
+    np.testing.assert_allclose(sweep.xyz[:, 0], [1.0, 2.0])
