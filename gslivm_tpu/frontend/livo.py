@@ -23,7 +23,7 @@ from ..pipeline import Frame
 from . import so3
 from .odometry import Odometry, motion_compensate_constant
 from .sensors import ImageSample, ImuSample, LidarSweep, MeasurementSync, filter_sweep
-from .vio import ColorPointMap, OpticalFlowTracker, VioState, vio_esikf_td
+from .vio import ColorPointMap, OpticalFlowTracker, VioState, vio_esikf
 
 
 class LivoFrontend:
@@ -38,6 +38,8 @@ class LivoFrontend:
         sweep_interval: float = 0.1,
         distortion=None,
         image_resize_ratio: float = 1.0,
+        estimate_extrinsic: bool = False,
+        estimate_intrinsic: bool = False,
     ):
         self.cfg = config
         if image_resize_ratio != 1.0:
@@ -67,7 +69,14 @@ class LivoFrontend:
                                  R_imu_lidar, t_imu_lidar)
         self.color_map = ColorPointMap(config.map)
         self.tracker = OpticalFlowTracker()
-        self.vio_state = VioState(fx=fx, fy=fy, cx=cx, cy=cy)
+        # vioEsikf extrinsic/intrinsic estimation flags: the reference
+        # hardcodes both false (imageProcessing.cpp:20-21); the Jacobian
+        # capability is live here behind the same gates
+        self.estimate_extrinsic = estimate_extrinsic
+        self.estimate_intrinsic = estimate_intrinsic
+        self.vio_state = VioState(fx=fx, fy=fy, cx=cx, cy=cy,
+                                  R_ic=self.R_ic.copy(),
+                                  t_ic=self.t_ic.copy())
         self.frames_out: list[Frame] = []
         self._last_q = np.array([1.0, 0, 0, 0])
         self._last_p = np.zeros(3)
@@ -140,14 +149,26 @@ class LivoFrontend:
         R_cw, t_cw, center = self._camera_pose()
         gray = cv2.cvtColor(m.image, cv2.COLOR_RGB2GRAY)
 
-        # track + PnP gate + td esikf (imageProcessing::process)
+        # track + PnP gate + esikf (imageProcessing::process)
         if self.tracker.track(gray, m.time_image, self.color_map):
             if self.tracker.ransac_pnp(self.color_map, self.K):
-                self.vio_state = vio_esikf_td(
+                R_wi = so3.quat_to_rot(self.odometry.eskf.q)
+                self.vio_state = vio_esikf(
                     self.vio_state, self.color_map, self.tracker.track_idx,
-                    self.tracker.track_uv, R_cw, t_cw,
+                    self.tracker.track_uv, R_wi, self.odometry.eskf.p,
                     number_new_voxels=max(len(self.color_map.recent_voxels), 1),
+                    estimate_extrinsic=self.estimate_extrinsic,
+                    estimate_intrinsic=self.estimate_intrinsic,
                 )
+                if self.estimate_extrinsic:
+                    # refreshed extrinsics feed the projection pose
+                    self.R_ic = self.vio_state.R_ic.copy()
+                    self.t_ic = self.vio_state.t_ic.copy()
+                if self.estimate_intrinsic:
+                    self.K = np.array([
+                        [self.vio_state.fx, 0, self.vio_state.cx],
+                        [0, self.vio_state.fy, self.vio_state.cy],
+                        [0, 0, 1.0]])
 
         # Bayesian color rendering of recent voxels
         self.color_map.render_recent(m.image, R_cw, t_cw, self.K, center,

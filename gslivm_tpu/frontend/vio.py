@@ -419,21 +419,44 @@ def vio_photometric(state: VioState, cmap: ColorPointMap,
     return state, acc / max(n, 1)
 
 
-def vio_esikf_td(state: VioState, cmap: ColorPointMap,
-                 track_idx: np.ndarray, track_uv: np.ndarray,
-                 R_cw: np.ndarray, t_cw: np.ndarray,
-                 number_new_voxels: int, num_iterations: int = 2) -> VioState:
-    """vioEsikf with the live-config flags (extrinsic/intrinsic estimation
-    off): only the time-offset column of H is populated, so the update
-    refines time_td against the tracked-pixel reprojection residuals."""
+def vio_esikf(state: VioState, cmap: ColorPointMap,
+              track_idx: np.ndarray, track_uv: np.ndarray,
+              R_wi: np.ndarray, t_wi: np.ndarray,
+              number_new_voxels: int, num_iterations: int = 2,
+              estimate_extrinsic: bool = False,
+              estimate_intrinsic: bool = False) -> VioState:
+    """vioEsikf (imageProcessing.cpp:270-417): 11-dim ESIKF update
+    [td, so3_ic(3), t_ic(3), fx, fy, cx, cy] against tracked-pixel
+    reprojection residuals.
+
+    The reference carries the COMPLETE measurement Jacobian but gates the
+    extrinsic columns by ifEstimateExtrinsic and the intrinsic columns by
+    ifEstimateCameraIntrinsic, both hardcoded false (imageProcessing.cpp:
+    20-21, 381-389) — so its live config only refines time_td. The same
+    capability lives here behind the same flags; flag-off is numerically
+    identical to the td-only update (the covariance starts diagonal and H
+    has only column 0, so the gain never mixes the other rows).
+
+    R_wi/t_wi: current IMU->world pose; the camera pose derives from the
+    state's extrinsics and is REFRESHED each iteration after the update
+    (updateCameraParameters -> refreshPoseForProjection, :419-438).
+    """
     n = len(track_idx)
     if n < MIN_ITER_POINTS:
         return state
     weight = max(0.001, min(5.0 / max(number_new_voxels, 1), 0.01))
     td_pred = state.time_td
+    R_pred = state.R_ic.copy()
+    p_pred = state.t_ic.copy()
+    k_pred = np.array([state.fx, state.fy, state.cx, state.cy])
     last_acc = 3e8
     H = np.zeros((2 * n, 11))
     for _ in range(num_iterations):
+        R_wc = R_wi @ state.R_ic
+        c = R_wi @ state.t_ic + t_wi
+        R_cw = R_wc.T
+        t_cw = -R_cw @ c
+
         pts = cmap.position[track_idx]
         vel = cmap.image_velocity[track_idx]
         p_cam = pts @ R_cw.T + t_cw
@@ -446,18 +469,83 @@ def vio_esikf_td(state: VioState, cmap: ColorPointMap,
         rn = np.linalg.norm(resid, axis=1)
         hub = np.asarray([huber_scale(r) for r in rn])
         r_vec = (resid * hub[:, None]).reshape(-1)
+
         H[:, :] = 0.0
         H[:, 0] = (vel * hub[:, None]).reshape(-1)
+        if estimate_extrinsic:
+            # J_u_pc: projection Jacobian wrt the camera-frame point (:368)
+            J_u_pc = np.zeros((n, 2, 3))
+            J_u_pc[:, 0, 0] = state.fx / z
+            J_u_pc[:, 0, 2] = -state.fx * p_cam[:, 0] / z**2
+            J_u_pc[:, 1, 1] = state.fy / z
+            J_u_pc[:, 1, 2] = -state.fy * p_cam[:, 1] / z**2
+            skews = np.zeros((n, 3, 3))
+            skews[:, 0, 1] = -p_cam[:, 2]
+            skews[:, 0, 2] = p_cam[:, 1]
+            skews[:, 1, 0] = p_cam[:, 2]
+            skews[:, 1, 2] = -p_cam[:, 0]
+            skews[:, 2, 0] = -p_cam[:, 1]
+            skews[:, 2, 1] = p_cam[:, 0]
+            # dso3 column (:382) and t_ic column (:383)
+            H[:, 1:4] = (np.einsum("nij,njk->nik", J_u_pc, skews)
+                         * hub[:, None, None]).reshape(-1, 3)
+            H[:, 4:7] = (-(J_u_pc @ state.R_ic.T)
+                         * hub[:, None, None]).reshape(-1, 3)
+        if estimate_intrinsic:
+            # J_u_K (:373-375): d(u,v)/d(fx,fy,cx,cy)
+            J_u_K = np.zeros((n, 2, 4))
+            J_u_K[:, 0, 0] = p_cam[:, 0] / z
+            J_u_K[:, 0, 2] = 1.0
+            J_u_K[:, 1, 1] = p_cam[:, 1] / z
+            J_u_K[:, 1, 3] = 1.0
+            H[:, 7:11] = (J_u_K * hub[:, None, None]).reshape(-1, 4)
+
         d_x = np.zeros(11)
         d_x[0] = state.time_td - td_pred
+        d_x[1:4] = so3.rot_to_so3(R_pred.T @ state.R_ic)
+        d_x[4:7] = state.t_ic - p_pred
+        d_x[7:11] = np.array([state.fx, state.fy, state.cx, state.cy]) - k_pred
+        J0 = np.eye(11)
+        J0[1:4, 1:4] = np.eye(3) - 0.5 * so3.skew(d_x[1:4])
+
         Kmat = np.linalg.solve(
-            H.T @ H + np.linalg.inv(state.covariance * weight), H.T)
-        sol = -Kmat @ r_vec - (np.eye(11) - Kmat @ H) @ d_x
+            H.T @ H + np.linalg.inv(J0 @ state.covariance @ J0.T * weight),
+            H.T)
+        sol = -Kmat @ r_vec - (np.eye(11) - Kmat @ H) @ J0 @ d_x
+
+        # updateCameraParameters (:419-431)
         state.time_td += sol[0]
+        state.R_ic = state.R_ic @ so3.so3_to_rot(sol[1:4])
+        state.t_ic = state.t_ic + sol[4:7]
+        state.fx += sol[7]
+        state.fy += sol[8]
+        state.cx += sol[9]
+        state.cy += sol[10]
+
         acc = rn.mean()
         if abs(acc - last_acc) < 0.01:
             break
         last_acc = acc
-    KH = Kmat @ H
-    state.covariance = (np.eye(11) - KH) @ state.covariance
+
+    J_k = np.eye(11)
+    J_k[1:4, 1:4] = np.eye(3) - 0.5 * so3.skew(sol[1:4])
+    state.covariance = (
+        J_k @ (np.eye(11) - Kmat @ H) @ state.covariance @ J_k.T)
     return state
+
+
+def vio_esikf_td(state: VioState, cmap: ColorPointMap,
+                 track_idx: np.ndarray, track_uv: np.ndarray,
+                 R_cw: np.ndarray, t_cw: np.ndarray,
+                 number_new_voxels: int, num_iterations: int = 2) -> VioState:
+    """vioEsikf with the live-config flags (extrinsic/intrinsic estimation
+    off): only the time-offset column of H is populated, so the update
+    refines time_td. Thin wrapper over vio_esikf taking the camera pose
+    directly (it is constant when the extrinsics are not estimated)."""
+    # recover an equivalent IMU pose so vio_esikf's extrinsic composition
+    # reproduces exactly this camera pose
+    R_wi = R_cw.T @ state.R_ic.T
+    c = -R_cw.T @ t_cw
+    t_wi = c - R_wi @ state.t_ic
+    return vio_esikf(state, cmap, track_idx, track_uv, R_wi, t_wi,
+                     number_new_voxels, num_iterations=num_iterations)

@@ -2,6 +2,7 @@
 td estimation."""
 
 import numpy as np
+import pytest
 
 from gslivm_tpu.config import MapOptions
 from gslivm_tpu.frontend import vio
@@ -152,3 +153,88 @@ def test_vio_photometric_recovers_extrinsic_shift(rng):
                                  number_new_voxels=200,
                                  estimate_extrinsic=False)
     np.testing.assert_allclose(st2.t_ic, before)
+
+
+def test_vio_esikf_flags_off_matches_td_only(rng):
+    """With both estimation flags off, the full-Jacobian vio_esikf must
+    reproduce the td-only path exactly: extrinsics/intrinsics untouched, td
+    identical (imageProcessing.cpp's live config, flags hardcoded false)."""
+    cmap = vio.ColorPointMap()
+    pts = np.stack([rng.uniform(-1, 1, 40), rng.uniform(-1, 1, 40),
+                    rng.uniform(3, 6, 40)], axis=1)
+    cmap.add_points(pts)
+    idx = np.arange(40)
+    vel = rng.uniform(-80, 80, (40, 2))
+    cmap.image_velocity[idx] = vel
+    proj = np.stack([120 * pts[:, 0] / pts[:, 2] + 80,
+                     120 * pts[:, 1] / pts[:, 2] + 60], axis=1)
+    track_uv = proj + 0.02 * vel
+
+    st_a = vio.VioState(fx=120.0, fy=120.0, cx=80.0, cy=60.0,
+                        covariance=np.eye(11) * 1.0)
+    st_a = vio.vio_esikf_td(st_a, cmap, idx, track_uv, np.eye(3),
+                            np.zeros(3), number_new_voxels=100,
+                            num_iterations=3)
+    st_b = vio.VioState(fx=120.0, fy=120.0, cx=80.0, cy=60.0,
+                        covariance=np.eye(11) * 1.0)
+    st_b = vio.vio_esikf(st_b, cmap, idx, track_uv, np.eye(3), np.zeros(3),
+                         number_new_voxels=100, num_iterations=3)
+    assert st_b.time_td == pytest.approx(st_a.time_td, abs=1e-12)
+    np.testing.assert_allclose(st_b.R_ic, np.eye(3), atol=0)  # untouched
+    np.testing.assert_allclose(st_b.t_ic, np.zeros(3), atol=0)
+    assert (st_b.fx, st_b.fy, st_b.cx, st_b.cy) == (120.0, 120.0, 80.0, 60.0)
+    np.testing.assert_allclose(st_b.covariance, st_a.covariance, atol=1e-12)
+
+
+def test_vio_esikf_recovers_extrinsic_rotation(rng):
+    """estimate_extrinsic=True: a known R_ic perturbation is recovered from
+    exact reprojection residuals (the gated capability of
+    imageProcessing.cpp:381-383 made live)."""
+    from gslivm_tpu.frontend import so3
+
+    cmap = vio.ColorPointMap()
+    n = 80
+    pts = np.stack([rng.uniform(-2, 2, n), rng.uniform(-1.5, 1.5, n),
+                    rng.uniform(3, 8, n)], axis=1)
+    cmap.add_points(pts)
+    idx = np.arange(n)
+    # zero image velocity: td column is inert; rotation must do the work
+    R_true = so3.so3_to_rot(np.array([0.02, -0.015, 0.01]))
+    # measurements generated with the TRUE extrinsic (R_wi = I, t = 0)
+    R_cw = R_true.T
+    p_cam = pts @ R_cw.T
+    uv = np.stack([150 * p_cam[:, 0] / p_cam[:, 2] + 80,
+                   150 * p_cam[:, 1] / p_cam[:, 2] + 60], axis=1)
+
+    st = vio.VioState(fx=150.0, fy=150.0, cx=80.0, cy=60.0,
+                      covariance=np.eye(11) * 10.0)  # weak prior
+    err0 = np.linalg.norm(so3.rot_to_so3(st.R_ic.T @ R_true))
+    for _ in range(25):
+        st = vio.vio_esikf(st, cmap, idx, uv, np.eye(3), np.zeros(3),
+                           number_new_voxels=100, num_iterations=3,
+                           estimate_extrinsic=True)
+    err = np.linalg.norm(so3.rot_to_so3(st.R_ic.T @ R_true))
+    assert err < err0 / 10, (err0, err)
+
+
+def test_vio_esikf_recovers_intrinsic(rng):
+    """estimate_intrinsic=True: a focal-length error is recovered
+    (imageProcessing.cpp:386-388 made live)."""
+    cmap = vio.ColorPointMap()
+    n = 80
+    pts = np.stack([rng.uniform(-2, 2, n), rng.uniform(-1.5, 1.5, n),
+                    rng.uniform(3, 8, n)], axis=1)
+    cmap.add_points(pts)
+    idx = np.arange(n)
+    fx_true, fy_true = 160.0, 155.0
+    uv = np.stack([fx_true * pts[:, 0] / pts[:, 2] + 80,
+                   fy_true * pts[:, 1] / pts[:, 2] + 60], axis=1)
+
+    st = vio.VioState(fx=150.0, fy=150.0, cx=80.0, cy=60.0,
+                      covariance=np.eye(11) * 10.0)
+    for _ in range(25):
+        st = vio.vio_esikf(st, cmap, idx, uv, np.eye(3), np.zeros(3),
+                           number_new_voxels=100, num_iterations=3,
+                           estimate_intrinsic=True)
+    assert abs(st.fx - fx_true) < 1.0, st.fx
+    assert abs(st.fy - fy_true) < 1.0, st.fy
