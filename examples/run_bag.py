@@ -37,6 +37,9 @@ def main():
     ap.add_argument("--max-messages", type=int, default=None)
     ap.add_argument("--backend", default="auto")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--watchdog-period", type=float, default=1000.0,
+                    help="stall-watchdog check period in seconds "
+                         "(heartHandler analog)")
     args = ap.parse_args()
 
     import jax
@@ -82,15 +85,27 @@ def main():
     mapper = IncrementalMapper(config=cfg,
                                settings=RasterizeSettings(backend=args.backend))
 
+    # stall watchdog (heartHandler analog, lioOptimization.cpp:236,760-765):
+    # once mapping has started, a check-period with no sensor data ends the
+    # run and falls through to the shutdown artifacts below
+    from gslivm_tpu.utils.watchdog import StallWatchdog
+
+    dog = StallWatchdog(period_s=args.watchdog_period)
+    dog.start()
+
     t0 = time.time()
     count = 0
     trained = 0
     for msg in rosbag.read_bag(
             args.bag, {ds["imu_topic"], ds["lidar_topic"], ds["image_topic"]}):
-        rec = rosbag.decode(msg)
+        if dog.stopped:
+            print("watchdog: no sensor data for a full period — stopping")
+            break
+        rec = rosbag.decode(msg, lidar_type=cfg.common.lidar_type)
         from gslivm_tpu.frontend.sensors import ImageSample, ImuSample, LidarSweep
 
         if isinstance(rec, ImuSample):
+            dog.notify_data()  # is_received_data (imuHandler:768)
             fe.push_imu(rec.t, rec.gyr, rec.acc)
         elif isinstance(rec, LidarSweep):
             with Timer.evaluate("lidar_sweep"):
@@ -105,6 +120,8 @@ def main():
         for frame in fe.pop_frames():
             with Timer.evaluate("gsPointCloudUpdate"):
                 stats = mapper.add_frame(frame)
+            if mapper.started:
+                dog.notify_started()  # is_gs_started gate
             q, p = fe.pose
             outputs.append_tum_pose(os.path.join(args.out, "pose.txt"),
                                     msg.t, p, [q[1], q[2], q[3], q[0]])

@@ -201,3 +201,42 @@ def test_evaluate_dirs(tmp_path, rng):
     assert out["count"] == 2
     assert out["mean_psnr"] > 50
     assert out["mean_l1"] < 1e-6
+
+
+def test_watchdog_stall_detection():
+    """heartHandler analog (lioOptimization.cpp:236,760-765): stall fires
+    only after mapping started AND a full period passed with no data."""
+    from gslivm_tpu.utils.watchdog import StallWatchdog
+
+    calls = []
+    d = StallWatchdog(period_s=0.01, on_stall=lambda: calls.append(1))
+    # not started -> never stalls
+    assert not d.check() and not d.check()
+    d.notify_started()
+    d.notify_data()
+    assert not d.check()      # data arrived this period
+    assert d.check()          # none since the last tick -> stop
+    assert d.stopped and calls == [1]
+    assert d.check()          # stays stopped, on_stall fires once
+
+
+def test_see_image_tool(tmp_path):
+    import numpy as np
+
+    from gslivm_tpu.tools import see_image
+
+    p = str(tmp_path / "d.npy")
+    np.save(p, np.random.default_rng(0).random((16, 24)).astype(np.float32))
+    out = str(tmp_path / "d.png")
+    see_image.main([p, "--out", out])
+    import os
+    assert os.path.getsize(out) > 500
+
+
+def test_gp_figure_tool(tmp_path):
+    from gslivm_tpu.tools import gp_figure
+
+    paths = gp_figure.main(["--out", str(tmp_path)])
+    import os
+    for p in paths:
+        assert os.path.getsize(p) > 2000
