@@ -303,11 +303,7 @@ def render_params(params: GaussianParams, camera: Camera, bg_color,
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("opt_params", "settings", "n_history_pairs"),
-)
-def train_step(
+def _train_step_impl(
     params: GaussianParams,
     opt_state,
     cameras: Sequence[Camera],
@@ -379,3 +375,20 @@ def train_step(
         ssim=ssim0, overflow=ovf,
     )
     return params, opt_state, metrics
+
+
+_STEP_STATICS = ("opt_params", "settings", "n_history_pairs")
+
+# The standard entry: inputs stay valid after the call (tests and offline
+# evaluation reuse the same params across comparisons).
+train_step = functools.partial(
+    jax.jit, static_argnames=_STEP_STATICS)(_train_step_impl)
+
+# The streaming entry (pipeline.IncrementalMapper): params and Adam state
+# are DONATED — XLA reuses their HBM buffers for the outputs instead of
+# allocating fresh ones, halving per-step parameter memory traffic. The
+# caller must not touch the donated inputs afterwards (the reference
+# mutates its tensors in place, so donation is the honest analog).
+train_step_donating = functools.partial(
+    jax.jit, static_argnames=_STEP_STATICS,
+    donate_argnums=(0, 1))(_train_step_impl)

@@ -21,10 +21,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 WIDTH, HEIGHT = 1920, 1080
 N = 200_000
-MAXI = 1 << 20
+MAXI = 7168 * 128  # bench.py budget
 BLOCK = (2, 2)
 SLACK = 0.6
-MAXCH = 64
+MAXCH = 16
 
 
 def main():
