@@ -1,33 +1,31 @@
-"""Microbench the exact sub-ops of bin_instances + _pack_features at 1080p
-scale to find where the 61 ms (binning) and 25 ms (pack) go."""
+"""Microbench the exact sub-ops of bin_instances + _pack_features at the
+CURRENT bench scale (855k instances, supertile 2x2) to find where the
+~22 ms (binning) and ~5 ms (pack) go. Uses slope-based device timing
+(block_until_ready does not synchronize over the axon tunnel)."""
 from __future__ import annotations
 
 import os
 import sys
-import time
 
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import jax.numpy as jnp
 
+from tputime import report
+
 P = 200_000
-MAXI = 1 << 21
-PAD = MAXI + 8160 * 127  # padded capacity approx
+MAXI = 6678 * 128            # bench budget
+PAD = 906_624                # bench padded capacity (slack 0.2)
+NTILES = 2040                # supertile 2x2 grid at 1080p
 
 
 def timeit(name, fn, *args, iters=8):
-    f = jax.jit(fn)
-    out = f(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = f(*args)
-    jax.block_until_ready(out)
-    print(f"{name:48s} {(time.perf_counter() - t0) / iters * 1e3:8.2f} ms")
+    report(name, fn, *args)
 
 
 def main():
@@ -57,9 +55,9 @@ def main():
            lambda d: jnp.argsort(d, stable=True), d)
 
     # searchsorted 8160 tiles over 2M sorted
-    srt = jnp.asarray(np.sort(rng.integers(0, 8160, size=MAXI)), jnp.int32)
-    tids = jnp.arange(8160, dtype=jnp.int32)
-    timeit("searchsorted 8160 in 2M x2",
+    srt = jnp.asarray(np.sort(rng.integers(0, NTILES, size=MAXI)), jnp.int32)
+    tids = jnp.arange(NTILES, dtype=jnp.int32)
+    timeit("searchsorted tiles in sorted x2",
            lambda s, t: (jnp.searchsorted(s, t, side="left"),
                          jnp.searchsorted(s, t, side="right")), srt, tids)
 
