@@ -628,6 +628,8 @@ def _gather_cols_bwd(ndiff, res, g):
 _gather_cols.defvjp(_gather_cols_fwd, _gather_cols_bwd)
 
 
+
+
 def _pack_features(pre: PreprocessedGaussians, gauss_rank, dorder,
                    y_shift=0.0, rect_rows: bool = False):
     """Gather per-gaussian screen features into the feature-major
