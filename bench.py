@@ -26,11 +26,17 @@ import numpy as np
 
 WIDTH, HEIGHT = 1920, 1080
 N_GAUSS = 200_000
-MAX_INSTANCES = 7168 * 128  # 917k; measured supertile-2x2 expansion for this
-# scene is 846k (tools/profile_stages.py) — the CUDA reference allocates
-# exactly num_rendered, so a ~8% static headroom is the fair TPU analog.
-# Every instance-space op (sort, pack, kernel grad writes, grad scatter)
-# scales with this budget + slack; overflow is counted, not crashed on.
+MAX_INSTANCES = 6700 * 128  # 857.6k; measured supertile-2x2 expansion for
+# this scene is 846,230 (tools/profile_stages.py) — the CUDA reference
+# allocates exactly num_rendered, so a ~1% static headroom is the fair TPU
+# analog. Every instance-space op (pack, kernel grad writes, and above all
+# the ~15 ns/index gradient scatter-add) scales with this budget + slack;
+# overflow is counted (and asserted zero below), never crashed on.
+CAPACITY_SLACK = 0.2  # CHUNK-padding headroom: kept-after-cull is 755.6k
+# across 6,938 chunks => 888,064 padded slots, comfortably under
+# MAX_INSTANCES + 0.2 * num_tiles * 127 = 909k. Lossless for this scene
+# (overflow == 0 asserted); a denser scene auto-escalates via the
+# rasterize() budget growth path.
 BLOCK = (2, 2)           # supertile factor (see ops/binning.py block_x/block_y)
 ITERS = 10
 BASELINE_MRAYS = 30 * WIDTH * HEIGHT / 1e6  # 62.2
@@ -73,6 +79,7 @@ def main():
         out = rasterize_pallas(
             means, scales, quats, opac, shs, cam,
             max_instances=MAX_INSTANCES, interpret=not on_tpu,
+            capacity_slack=CAPACITY_SLACK,
             block_x=BLOCK[0], block_y=BLOCK[1],
             # measured max 7 chunks/tile for this scene; 16 halves twice over
             # the fwd-checkpoint HBM traffic vs the default 64 (the ckpt
@@ -87,7 +94,8 @@ def main():
     # weak #3 — no hand-fitting below lossless)
     probe = rasterize_pallas(
         means, scales, quats, opac, shs, cam, max_instances=MAX_INSTANCES,
-        interpret=not on_tpu, block_x=BLOCK[0], block_y=BLOCK[1],
+        interpret=not on_tpu, capacity_slack=CAPACITY_SLACK,
+        block_x=BLOCK[0], block_y=BLOCK[1],
         max_chunks_per_tile=16)
     assert int(probe.overflow) == 0, (
         f"bench budgets truncate {int(probe.overflow)} instances "
@@ -122,6 +130,7 @@ def main():
     settings = RasterizeSettings(
         backend="pallas" if on_tpu else "naive",
         max_instances=MAX_INSTANCES, max_chunks_per_tile=16,
+        capacity_slack=CAPACITY_SLACK,
         block_x=BLOCK[0], block_y=BLOCK[1])
     optimizer = training.make_optimizer(training.GsOptimParams())
     opt_state = optimizer.init(params)

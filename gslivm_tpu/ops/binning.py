@@ -141,12 +141,16 @@ def bin_instances(
         # exact supertile cover of the tile range [rect_min, rect_max):
         # floor/ceil division (rects are already clipped to >= 0). Empty
         # rects must STAY empty (ceil(k/b) > floor(k/b) when b doesn't
-        # divide k), hence the area gate below.
-        blk = jnp.asarray([block_x, block_y], jnp.int32)
+        # divide k), hence the area gate below. Divisors are PYTHON ints so
+        # XLA strength-reduces them (a vector divisor lowers to the full
+        # VPU integer-division sequence — measured ~3 ms at 200k rects).
         empty = (rect_max[:, 0] <= rect_min[:, 0]) | (
             rect_max[:, 1] <= rect_min[:, 1])
-        rect_min = rect_min // blk
-        rect_max = -((-rect_max) // blk)
+        rect_min = jnp.stack(
+            [rect_min[:, 0] // block_x, rect_min[:, 1] // block_y], axis=1)
+        rect_max = jnp.stack(
+            [-((-rect_max[:, 0]) // block_x),
+             -((-rect_max[:, 1]) // block_y)], axis=1)
         rect_max = jnp.where(empty[:, None], rect_min, rect_max)
     if banded:
         # clip rects to the band (band-relative y) and recompute counts
@@ -201,13 +205,31 @@ def bin_instances(
     int_rows = [rect_min[:, 0], rect_min[:, 1], rect_w,
                 jnp.minimum(offsets, max_instances)]
     meta_rows = [v.astype(jnp.float32) for v in int_rows]
+    # per-GAUSSIAN reciprocal of the rect width: every per-instance f32
+    # divide (the most expensive VPU elementwise op) is hoisted to the
+    # (30x smaller) rank table and GATHERED — row count in the merged
+    # gather is nearly free, index count is what costs (docs/kernels.md)
+    meta_rows.append(1.0 / rect_w.astype(jnp.float32))
     if tile_cull:
         mean2d = jax.lax.stop_gradient(pre.mean2d)
         conic = jax.lax.stop_gradient(pre.conic)
         op = jax.lax.stop_gradient(jnp.where(pre.valid, pre.opacity, 0.0))
+        ca = conic[:, 0]
+        cb = conic[:, 1]
+        cc = conic[:, 2]
+        # hoisted per-gaussian cull terms: edge-stationary-point slopes
+        # (tile_min_power rb_a/rb_c) and the LOG-domain keep threshold
+        # (q_min <= log(op / EPS) <=> op * exp(-q_min) >= EPS), replacing a
+        # per-instance exp with a compare; +1e-6 slack keeps the boundary
+        # strictly conservative (never culls a contributing instance)
+        lq = jnp.where(
+            op > 0.0,
+            jnp.log(jnp.maximum(op, 1e-30) / TILE_CULL_EPS) + 1e-6,
+            -jnp.inf)
         ftab = jnp.stack(
-            [mean2d[:, 0], mean2d[:, 1],
-             conic[:, 0], conic[:, 1], conic[:, 2], op], axis=0
+            [mean2d[:, 0], mean2d[:, 1], ca, cb, cc,
+             -cb / jnp.maximum(ca, 1e-12),
+             -cb / jnp.maximum(cc, 1e-12), lq], axis=0
         )[:, dorder]
         meta = jnp.concatenate([jnp.stack(meta_rows, axis=0), ftab], axis=0)
     else:
@@ -215,11 +237,10 @@ def bin_instances(
     m = meta[:, gid]
     r_x, r_y, r_w, off_slot = (m[i].astype(jnp.int32) for i in range(4))
     k = slots - off_slot
-    # k // r_w and k % r_w via f32 reciprocal + fixup (int div lowers to a
-    # long VPU sequence; k < 2^24 and r_w < 2^12 make the f32 path exact
-    # after a +-1 correction).
-    q = jnp.floor(k.astype(jnp.float32) *
-                  (1.0 / r_w.astype(jnp.float32))).astype(jnp.int32)
+    # k // r_w and k % r_w via the GATHERED per-gaussian f32 reciprocal +
+    # fixup (int div lowers to a long VPU sequence; k < 2^24 and r_w < 2^12
+    # make the f32 path exact after a +-1 correction).
+    q = jnp.floor(k.astype(jnp.float32) * m[4]).astype(jnp.int32)
     rem = k - q * r_w
     q = q + (rem >= r_w).astype(jnp.int32) - (rem < 0).astype(jnp.int32)
     rem = k - q * r_w
@@ -229,11 +250,12 @@ def bin_instances(
 
     if tile_cull:
         # Per-instance lossless ellipse cull (module doc #4).
-        f = m[4:]
+        f = m[5:]
         ty_abs = ty + y0 if banded else ty
         qmin = tile_min_power(f[0], f[1], f[2], f[3], f[4], tx, ty_abs,
-                              pw=TILE * block_x, ph=TILE * block_y)
-        keep = f[5] * jnp.exp(-qmin) >= TILE_CULL_EPS
+                              pw=TILE * block_x, ph=TILE * block_y,
+                              rb_a=f[5], rb_c=f[6])
+        keep = qmin <= f[7]
         tile_id = jnp.where(keep, tile_id, num_tiles)
 
     tile_id = jnp.where(slot_valid, tile_id, num_tiles)  # sentinel -> end

@@ -101,6 +101,10 @@ def _cumsum_rows(x, exclusive: bool):
     """Cumulative sum along the sublane (first) axis of a (CHUNK, NPIX) array.
 
     Hillis-Steele scan: log2(rows) shift-and-add steps with static shapes.
+    (A two-level vreg-split scan — 4.1 full-array combines instead of 7 —
+    was measured SLOWER on v5e: Mosaic's (16, 8, cols) regroup, sublane
+    extraction and broadcast relayouts cost more than the saved combines;
+    full step 88.9 -> 90.8 ms. Flat HS stays.)
     """
     orig = x
     n, cols = x.shape
@@ -667,12 +671,14 @@ def _pack_features(pre: PreprocessedGaussians, gauss_rank, dorder,
         jnp.arange(n, dtype=jnp.int32))
     table = _permute_cols(per_gauss, dorder, inv_dorder)  # rank order
 
+    # pad the SMALL table to FEAT rows before the PAD-wide gather (row count
+    # in a gather is nearly free; a post-gather concat copies 77 MB)
+    table = jnp.concatenate(
+        [table, jnp.zeros((FEAT - nrows, n), table.dtype)], axis=0)
     safe = jnp.maximum(gauss_rank, 0)
-    inst = _gather_cols(10, table, safe)  # [nrows, PAD]; VJP: 10 rows only
+    inst = _gather_cols(10, table, safe)  # [FEAT, PAD]; VJP: 10 rows only
     dead = (gauss_rank < 0)[None, :]
-    inst = jnp.where(dead & (jnp.arange(nrows)[:, None] == _FO), 0.0, inst)
-    pad_rows = jnp.zeros((FEAT - nrows, inst.shape[1]), inst.dtype)
-    return jnp.concatenate([inst, pad_rows], axis=0)
+    return jnp.where(dead & (jnp.arange(FEAT)[:, None] == _FO), 0.0, inst)
 
 
 class BandLayout(NamedTuple):

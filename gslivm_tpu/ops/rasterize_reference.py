@@ -75,7 +75,7 @@ def get_rect(mean2d, radius_xy, grid_x: int, grid_y: int):
 
 
 def tile_min_power(mx, my, ca, cb, cc, tile_x, tile_y, pw: int = TILE,
-                   ph: int = TILE):
+                   ph: int = TILE, rb_a=None, rb_c=None):
     """Exact minimum of q(d) = 0.5(a dx² + c dy²) + b dx dy over a tile's
     pixel box [pw·tx, pw·tx+pw−1] × [ph·ty, ph·ty+ph−1] (continuous hull of
     the tile's pixel centers; conservative for the integer pixel grid).
@@ -92,18 +92,25 @@ def tile_min_power(mx, my, ca, cb, cc, tile_x, tile_y, pw: int = TILE,
     y0 = tile_y * ph - my
     y1 = y0 + (ph - 1)
     inside = (x0 <= 0) & (0 <= x1) & (y0 <= 0) & (0 <= y1)
-    sa = jnp.maximum(ca, 1e-12)
-    sc = jnp.maximum(cc, 1e-12)
+    # rb_a/rb_c = -cb / max(ca, 1e-12), -cb / max(cc, 1e-12): callers
+    # evaluating PER-INSTANCE (binning's tile cull at ~1M slots) precompute
+    # these per GAUSSIAN and gather them — f32 divides are the most
+    # expensive VPU elementwise op, so hoisting 4 divides per instance
+    # into 2 per gaussian is a measured multi-ms win (profile_binning.py)
+    if rb_a is None:
+        rb_a = -cb / jnp.maximum(ca, 1e-12)
+    if rb_c is None:
+        rb_c = -cb / jnp.maximum(cc, 1e-12)
 
     def q(dx, dy):
         return 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
 
     # min over each of the 4 box edges: 1-D quadratic, stationary point
     # clamped into the edge segment
-    qy0 = q(x0, jnp.clip(-cb * x0 / sc, y0, y1))
-    qy1 = q(x1, jnp.clip(-cb * x1 / sc, y0, y1))
-    qx0 = q(jnp.clip(-cb * y0 / sa, x0, x1), y0)
-    qx1 = q(jnp.clip(-cb * y1 / sa, x0, x1), y1)
+    qy0 = q(x0, jnp.clip(x0 * rb_c, y0, y1))
+    qy1 = q(x1, jnp.clip(x1 * rb_c, y0, y1))
+    qx0 = q(jnp.clip(y0 * rb_a, x0, x1), y0)
+    qx1 = q(jnp.clip(y1 * rb_a, x0, x1), y1)
     qmin = jnp.minimum(jnp.minimum(qy0, qy1), jnp.minimum(qx0, qx1))
     return jnp.where(inside, 0.0, jnp.maximum(qmin, 0.0))
 

@@ -21,9 +21,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 WIDTH, HEIGHT = 1920, 1080
 N = 200_000
-MAXI = 7168 * 128  # bench.py budget
+MAXI = 6700 * 128  # bench.py budget
 BLOCK = (2, 2)
-SLACK = 0.6
+SLACK = 0.2
 MAXCH = 16
 
 
