@@ -64,12 +64,21 @@ CHUNK = 128  # render-kernel chunk size; per-tile runs are padded to this.
 
 class BinnedInstances(NamedTuple):
     gauss_rank: jnp.ndarray    # [max_instances_padded] int32 DEPTH-RANK ids,
-                               #   -1 = padding; original id = dorder[rank]
+                               #   -1 = padding; original id = dorder[rank].
+                               #   None when aligned_layout=False (the
+                               #   placement scatter building it is the
+                               #   single most expensive binning op; the
+                               #   sorted-input kernel path skips it)
     dorder: jnp.ndarray        # [num_gauss] int32 rank -> original gaussian id
     tile_nchunks: jnp.ndarray  # [num_tiles] int32 — chunks of CHUNK instances
     tile_offset: jnp.ndarray   # [num_tiles] int32 — start slot (CHUNK-aligned)
     num_instances: jnp.ndarray # [] int32 — real (unpadded, unclamped) count
     overflow: jnp.ndarray      # [] int32 — instances dropped by the budgets
+    gid_sorted: jnp.ndarray    # [max_instances] int32 rank id per SORTED
+                               #   slot (tile-major, depth order within tile)
+    sorted_start: jnp.ndarray  # [num_tiles] int32 — tile run start in the
+                               #   UNPADDED sorted layout (arbitrary phase)
+    cnt_allowed: jnp.ndarray   # [num_tiles] int32 — kept instances per tile
 
 
 def bin_instances(
@@ -84,6 +93,7 @@ def bin_instances(
     capacity_slack: float = 1.0,
     block_x: int = 1,
     block_y: int = 1,
+    aligned_layout: bool = True,
 ) -> BinnedInstances:
     """Expand gaussians into depth-sorted, tile-aligned instance slots.
 
@@ -312,23 +322,27 @@ def bin_instances(
     #    and measured SLOWER on v5e — TPU gather cost is ~5 ns per index
     #    regardless of index monotonicity, so trading one 1-column scatter
     #    for two PAD-wide gathers loses (full step 88.9 -> 98.1 ms).
-    delta_t = tile_offset - start
-    keep_end_t = start + cnt_allowed
-    neg = jnp.int32(-(1 << 30))
+    if aligned_layout:
+        delta_t = tile_offset - start
+        keep_end_t = start + cnt_allowed
+        neg = jnp.int32(-(1 << 30))
 
-    # Both expansions fused into ONE 2-row scatter + cummax (the scan cost
-    # is sublane-parallel: (2, M) costs the same cycles as (M,)).
-    marks2 = jnp.full((2, max_instances), neg, jnp.int32).at[:, start].max(
-        jnp.stack([delta_t, keep_end_t]).astype(jnp.int32), mode="drop")
-    expanded = jax.lax.cummax(marks2, axis=1)
-    delta_s, keep_end_s = expanded[0], expanded[1]
-    dst = slots + delta_s
-    keep = (tile_sorted < num_tiles) & (slots < keep_end_s)
-    dst = jnp.where(keep, dst, padded_size)  # dropped -> discard slot
-    gauss_rank = jnp.full((padded_size + 1,), -1, dtype=jnp.int32)
-    gauss_rank = gauss_rank.at[dst].set(
-        jnp.where(keep, gid_sorted, -1), mode="drop")
-    gauss_rank = gauss_rank[:padded_size]
+        # Both expansions fused into ONE 2-row scatter + cummax (the scan
+        # cost is sublane-parallel: (2, M) costs the same cycles as (M,)).
+        marks2 = jnp.full(
+            (2, max_instances), neg, jnp.int32).at[:, start].max(
+            jnp.stack([delta_t, keep_end_t]).astype(jnp.int32), mode="drop")
+        expanded = jax.lax.cummax(marks2, axis=1)
+        delta_s, keep_end_s = expanded[0], expanded[1]
+        dst = slots + delta_s
+        keep = (tile_sorted < num_tiles) & (slots < keep_end_s)
+        dst = jnp.where(keep, dst, padded_size)  # dropped -> discard slot
+        gauss_rank = jnp.full((padded_size + 1,), -1, dtype=jnp.int32)
+        gauss_rank = gauss_rank.at[dst].set(
+            jnp.where(keep, gid_sorted, -1), mode="drop")
+        gauss_rank = gauss_rank[:padded_size]
+    else:
+        gauss_rank = None
 
     # NOTE: ids stay in rank space — no PAD-wide un-permute (module doc).
 
@@ -341,6 +355,9 @@ def bin_instances(
         tile_offset=tile_offset,
         num_instances=total,
         overflow=overflow,
+        gid_sorted=gid_sorted,
+        sorted_start=start,
+        cnt_allowed=cnt_allowed,
     )
 
 

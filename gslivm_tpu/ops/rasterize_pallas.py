@@ -55,7 +55,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .binning import CHUNK, bin_instances
+from .binning import CHUNK, _padded_capacity, bin_instances
 from .rasterize_reference import (
     TILE,
     PreprocessedGaussians,
@@ -70,6 +70,9 @@ FEAT = 16  # packed instance feature columns (14 used, padded for tiling)
 # in pixels, used only in supertile mode (see _chunk_terms rect test)
 (_FX, _FY, _FA, _FB, _FC, _FO, _FR, _FG, _FB2, _FD,
  _FX0, _FX1, _FY0, _FY1) = range(14)
+_FID = 14  # sorted-input mode: depth-rank id rides as an exact-f32 feature
+           # row; the backward writes it next to the per-instance grads so
+           # the gradient scatter needs NO separately-materialized id array
 
 
 class PallasConfig(NamedTuple):
@@ -86,6 +89,12 @@ class PallasConfig(NamedTuple):
     pw: int = TILE
     ph: int = TILE
     rect_test: bool = False
+    sorted_input: bool = False  # instances arrive in UNPADDED depth-sorted
+                                # layout: per-tile runs start at arbitrary
+                                # offsets; the kernel DMAs a 2*CHUNK aligned
+                                # window and lane-rotates (docs/kernels.md)
+    pad_cols: int = 0           # sorted_input: width of the backward's
+                                # CHUNK-aligned per-instance grad output
 
     @property
     def npix(self) -> int:
@@ -224,8 +233,49 @@ def _chunk_terms(featT, px, py, T_in, done_in, rect_test: bool = False):
 # ---------------------------------------------------------------------------
 
 
+def _inst_get_dma(cfg, inst_ref, buf_ref, sem_ref, off):
+    """Chunk-fetch closure. Aligned mode: per-tile runs are CHUNK-aligned
+    by binning, fetch [FEAT, CHUNK] directly. Sorted mode: runs start at
+    arbitrary offsets, fetch the covering ALIGNED [FEAT, 2*CHUNK] window
+    (all chunks of a tile share the phase off % CHUNK)."""
+    if cfg.sorted_input:
+        base0 = (off // CHUNK) * CHUNK
+
+        def get_dma(slot, i):
+            start = pl.multiple_of(base0 + i * CHUNK, CHUNK)
+            return pltpu.make_async_copy(
+                inst_ref.at[:, pl.ds(start, 2 * CHUNK)],
+                buf_ref.at[slot],
+                sem_ref.at[slot],
+            )
+    else:
+        def get_dma(slot, i):
+            start = pl.multiple_of(off + i * CHUNK, CHUNK)
+            return pltpu.make_async_copy(
+                inst_ref.at[:, pl.ds(start, CHUNK)],
+                buf_ref.at[slot],
+                sem_ref.at[slot],
+            )
+    return get_dma
+
+
+def _chunk_feats(cfg, buf_ref, slot, phi, rem):
+    """Materialize one chunk's (CHUNK, FEAT) transposed feature block.
+
+    Sorted mode: lane-rotate the 2*CHUNK window by the run phase (dynamic
+    pltpu.roll), take the leading CHUNK, and ZERO rows past the run length
+    (the window overruns into the next tile's instances — zeroing every
+    feature makes opacity 0, so they composite as nothing)."""
+    if not cfg.sorted_input:
+        return buf_ref[slot].T
+    win = pltpu.roll(buf_ref[slot], 2 * CHUNK - phi, axis=1)
+    featT = win[:, :CHUNK].T
+    row = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, FEAT), 0)
+    return jnp.where(row < rem, featT, 0.0)
+
+
 def _fwd_kernel(cfg: PallasConfig, save_ckpt: bool, off_ref, nch_ref,
-                inst_ref, out_ref, *rest):
+                cnt_ref, inst_ref, out_ref, *rest):
     if save_ckpt:
         ckpt_ref, buf_ref, ckpt_scr, sem_ref, csem_ref = rest
     else:
@@ -233,15 +283,11 @@ def _fwd_kernel(cfg: PallasConfig, save_ckpt: bool, off_ref, nch_ref,
     t = pl.program_id(0)
     off = off_ref[t]
     nchunks = nch_ref[t]
+    cnt = cnt_ref[t]
+    phi = off - (off // CHUNK) * CHUNK
     px, py = _pixel_coords(t, cfg)
 
-    def get_dma(slot, i):
-        start = pl.multiple_of(off + i * CHUNK, CHUNK)  # aligned by binning
-        return pltpu.make_async_copy(
-            inst_ref.at[:, pl.ds(start, CHUNK)],
-            buf_ref.at[slot],
-            sem_ref.at[slot],
-        )
+    get_dma = _inst_get_dma(cfg, inst_ref, buf_ref, sem_ref, off)
 
     @pl.when(nchunks > 0)
     def _():
@@ -293,7 +339,8 @@ def _fwd_kernel(cfg: PallasConfig, save_ckpt: bool, off_ref, nch_ref,
 
         def compute(state):
             T, done, C0, C1, C2, D, A, N = state
-            featT = buf_ref[slot].T  # (CHUNK, FEAT): gaussians on sublanes
+            # (CHUNK, FEAT): gaussians on sublanes
+            featT = _chunk_feats(cfg, buf_ref, slot, phi, cnt - i * CHUNK)
             m = _chunk_terms(featT, px, py, T, done > 0.0,
                              cfg.rect_test)
             w = m["w"]
@@ -333,24 +380,23 @@ def _fwd_kernel(cfg: PallasConfig, save_ckpt: bool, off_ref, nch_ref,
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(cfg: PallasConfig, off_ref, neff_ref, inst_ref, g_ref,
-                fwd_ref, ckpt_ref, dinst_ref, buf_ref, ckpt_scr, gbuf_ref,
-                rsem_ref, wsem_ref, csem_ref):
+def _bwd_kernel(cfg: PallasConfig, off_ref, neff_ref, cnt_ref, poff_ref,
+                inst_ref, g_ref, fwd_ref, ckpt_ref, dinst_ref, buf_ref,
+                ckpt_scr, gbuf_ref, rsem_ref, wsem_ref, csem_ref):
     t = pl.program_id(0)
     off = off_ref[t]
     neff = neff_ref[t]
+    cnt = cnt_ref[t]
+    phi = off - (off // CHUNK) * CHUNK
+    # grad OUTPUT is always CHUNK-aligned: poff carries the padded offsets
+    # in sorted mode (writes cannot ride the unaligned instance layout)
+    woff = poff_ref[t] if cfg.sorted_input else off
     px, py = _pixel_coords(t, cfg)
 
-    def get_dma(slot, i):
-        start = pl.multiple_of(off + i * CHUNK, CHUNK)  # aligned by binning
-        return pltpu.make_async_copy(
-            inst_ref.at[:, pl.ds(start, CHUNK)],
-            buf_ref.at[slot],
-            rsem_ref.at[slot],
-        )
+    get_dma = _inst_get_dma(cfg, inst_ref, buf_ref, rsem_ref, off)
 
     def put_dma(slot, i):
-        start = pl.multiple_of(off + i * CHUNK, CHUNK)  # aligned by binning
+        start = pl.multiple_of(woff + i * CHUNK, CHUNK)
         return pltpu.make_async_copy(
             gbuf_ref.at[slot],
             dinst_ref.at[:, pl.ds(start, CHUNK)],
@@ -390,7 +436,7 @@ def _bwd_kernel(cfg: PallasConfig, off_ref, neff_ref, inst_ref, g_ref,
             get_dma(jax.lax.rem(i - 1, 2), i - 1).start()
 
         get_dma(slot, i).wait()
-        featT = buf_ref[slot].T  # (CHUNK, FEAT)
+        featT = _chunk_feats(cfg, buf_ref, slot, phi, cnt - i * CHUNK)
         T_signed = ckpt_scr[pl.ds(i, 1), :]
         T_in = jnp.abs(T_signed)
         done_in = T_signed < 0.0
@@ -442,10 +488,22 @@ def _bwd_kernel(cfg: PallasConfig, off_ref, neff_ref, inst_ref, g_ref,
             psum(gC2 * w),                            # d color b
             psum(gD * w),                             # d depth
         ]
-        gout = jnp.concatenate(
-            grads + [jnp.zeros((CHUNK, FEAT - len(grads)), jnp.float32)],
-            axis=1,
-        )
+        if cfg.sorted_input:
+            # the rank-id feature row rides along with the grads: the VJP's
+            # gradient scatter indexes by it, so no padded id array is ever
+            # materialized (masked overrun rows were zeroed -> id 0, grad 0)
+            gout = jnp.concatenate(
+                grads
+                + [jnp.zeros((CHUNK, _FID - len(grads)), jnp.float32),
+                   featT[:, _FID][:, None],
+                   jnp.zeros((CHUNK, FEAT - _FID - 1), jnp.float32)],
+                axis=1,
+            )
+        else:
+            gout = jnp.concatenate(
+                grads + [jnp.zeros((CHUNK, FEAT - len(grads)), jnp.float32)],
+                axis=1,
+            )
 
         # write this chunk's grads (double-buffered store DMA)
         @pl.when(j >= 2)
@@ -474,11 +532,12 @@ def _bwd_kernel(cfg: PallasConfig, off_ref, neff_ref, inst_ref, g_ref,
 # ---------------------------------------------------------------------------
 
 
-def _fwd_call(cfg: PallasConfig, inst, tile_offset, tile_nchunks,
+def _fwd_call(cfg: PallasConfig, inst, tile_offset, tile_nchunks, cnt,
               save_ckpt: bool):
     num_tiles = cfg.grid_x * cfg.grid_y
+    bufw = 2 * CHUNK if cfg.sorted_input else CHUNK
     scratch = [
-        pltpu.VMEM((2, FEAT, CHUNK), jnp.float32),
+        pltpu.VMEM((2, FEAT, bufw), jnp.float32),
         pltpu.SemaphoreType.DMA((2,)),
     ]
     out_shape = jax.ShapeDtypeStruct((num_tiles, 8, cfg.npix), jnp.float32)
@@ -487,7 +546,7 @@ def _fwd_call(cfg: PallasConfig, inst, tile_offset, tile_nchunks,
     )
     if save_ckpt:
         scratch = [
-            pltpu.VMEM((2, FEAT, CHUNK), jnp.float32),
+            pltpu.VMEM((2, FEAT, bufw), jnp.float32),
             pltpu.VMEM((cfg.max_chunks_per_tile, cfg.npix), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
@@ -496,7 +555,7 @@ def _fwd_call(cfg: PallasConfig, inst, tile_offset, tile_nchunks,
             (num_tiles, cfg.max_chunks_per_tile, cfg.npix), jnp.float32))
         out_specs = (out_specs, pl.BlockSpec(memory_space=pltpu.HBM))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=out_specs,
@@ -507,15 +566,16 @@ def _fwd_call(cfg: PallasConfig, inst, tile_offset, tile_nchunks,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=cfg.interpret,
-    )(tile_offset, tile_nchunks, inst)
+    )(tile_offset, tile_nchunks, cnt, inst)
 
 
-def _bwd_call(cfg: PallasConfig, inst, tile_offset, neff, g_tiles, fwd_tiles,
-              ckpt):
+def _bwd_call(cfg: PallasConfig, inst, tile_offset, neff, cnt, poff, g_tiles,
+              fwd_tiles, ckpt):
     num_tiles = cfg.grid_x * cfg.grid_y
-    pad = inst.shape[1]
+    pad = cfg.pad_cols if cfg.sorted_input else inst.shape[1]
+    bufw = 2 * CHUNK if cfg.sorted_input else CHUNK
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=4,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -529,7 +589,7 @@ def _bwd_call(cfg: PallasConfig, inst, tile_offset, neff, g_tiles, fwd_tiles,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((2, FEAT, CHUNK), jnp.float32),
+            pltpu.VMEM((2, FEAT, bufw), jnp.float32),
             pltpu.VMEM((cfg.max_chunks_per_tile, cfg.npix), jnp.float32),
             pltpu.VMEM((2, FEAT, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -542,24 +602,26 @@ def _bwd_call(cfg: PallasConfig, inst, tile_offset, neff, g_tiles, fwd_tiles,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((FEAT, pad), jnp.float32),
         interpret=cfg.interpret,
-    )(tile_offset, neff, inst, g_tiles, fwd_tiles, ckpt)
+    )(tile_offset, neff, cnt, poff, inst, g_tiles, fwd_tiles, ckpt)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _render_tiles(cfg: PallasConfig, inst, tile_offset, tile_nchunks):
-    return _fwd_call(cfg, inst, tile_offset, tile_nchunks, save_ckpt=False)
+    return _fwd_call(cfg, inst, tile_offset, tile_nchunks,
+                     tile_nchunks * CHUNK, save_ckpt=False)
 
 
 def _render_tiles_fwd(cfg, inst, tile_offset, tile_nchunks):
     out, ckpt = _fwd_call(cfg, inst, tile_offset, tile_nchunks,
-                          save_ckpt=True)
-    return out, (inst, tile_offset, out, ckpt)
+                          tile_nchunks * CHUNK, save_ckpt=True)
+    return out, (inst, tile_offset, tile_nchunks, out, ckpt)
 
 
 def _render_tiles_bwd(cfg, res, g_tiles):
-    inst, tile_offset, out, ckpt = res
+    inst, tile_offset, tile_nchunks, out, ckpt = res
     neff = out[:, 7, 0].astype(jnp.int32)
-    d_inst = _bwd_call(cfg, inst, tile_offset, neff, g_tiles, out, ckpt)
+    d_inst = _bwd_call(cfg, inst, tile_offset, neff, tile_nchunks * CHUNK,
+                       tile_offset, g_tiles, out, ckpt)
     # The kernel writes grads only for chunks < neff (everything later is
     # fully occluded => zero gradient) — zero the never-written slots. The
     # per-tile bound off[t] + CHUNK*neff[t] is non-decreasing in t (it is
@@ -638,13 +700,28 @@ def _pack_features(pre: PreprocessedGaussians, gauss_rank, dorder,
                    y_shift=0.0, rect_rows: bool = False):
     """Gather per-gaussian screen features into the feature-major
     [FEAT, PAD] instance array (differentiable; padding slots get opacity
-    0). Instance ids are in DEPTH-RANK space (binning.py), so the small
-    [rows, P] table is permuted into rank order first (two cheap small-table
-    gathers instead of one expensive PAD-wide un-permute). Feature-major
-    keeps the kernel's DMA chunk slices lane-aligned. y_shift moves mean2d.y
-    into band-local pixel coordinates. rect_rows appends the 4 tile-rect
-    pixel bounds (supertile mode's in-kernel rect test); they are
-    stop-gradient ints riding as exact f32 values."""
+    0); the aligned-layout path (_build_rank_table for the table)."""
+    table = _build_rank_table(pre, dorder, y_shift=y_shift,
+                              rect_rows=rect_rows)
+    safe = jnp.maximum(gauss_rank, 0)
+    inst = _gather_cols(10, table, safe)  # [FEAT, PAD]; VJP: 10 rows only
+    dead = (gauss_rank < 0)[None, :]
+    return jnp.where(dead & (jnp.arange(FEAT)[:, None] == _FO), 0.0, inst)
+
+
+def _build_rank_table(pre: PreprocessedGaussians, dorder, y_shift=0.0,
+                      rect_rows: bool = False):
+    """The [FEAT, P] per-gaussian screen-feature table in DEPTH-RANK column
+    order (differentiable). The small [rows, P] stack is permuted into rank
+    order with two cheap small-table gathers instead of one expensive
+    PAD-wide un-permute; it is padded to FEAT rows BEFORE any wide gather
+    (row count in a gather is nearly free; post-gather concats copy 77 MB).
+    y_shift moves mean2d.y into band-local pixel coordinates. rect_rows
+    appends the 4 tile-rect pixel bounds (supertile mode's in-kernel rect
+    test); they are stop-gradient ints riding as exact f32 values. Row
+    _FID is the column's own rank id (exact f32) — in sorted-input mode the
+    instance gather propagates it so the backward's gradient scatter needs
+    no separately-materialized id array."""
     rows = [
         pre.mean2d[:, 0],
         pre.mean2d[:, 1] - y_shift,
@@ -670,15 +747,63 @@ def _pack_features(pre: PreprocessedGaussians, gauss_rank, dorder,
     inv_dorder = jnp.zeros((n,), jnp.int32).at[dorder].set(
         jnp.arange(n, dtype=jnp.int32))
     table = _permute_cols(per_gauss, dorder, inv_dorder)  # rank order
+    pad = [jnp.zeros((_FID - nrows, n), table.dtype),
+           jnp.arange(n, dtype=table.dtype)[None, :],
+           jnp.zeros((FEAT - _FID - 1, n), table.dtype)]
+    return jnp.concatenate([table] + pad, axis=0)
 
-    # pad the SMALL table to FEAT rows before the PAD-wide gather (row count
-    # in a gather is nearly free; a post-gather concat copies 77 MB)
-    table = jnp.concatenate(
-        [table, jnp.zeros((FEAT - nrows, n), table.dtype)], axis=0)
-    safe = jnp.maximum(gauss_rank, 0)
-    inst = _gather_cols(10, table, safe)  # [FEAT, PAD]; VJP: 10 rows only
-    dead = (gauss_rank < 0)[None, :]
-    return jnp.where(dead & (jnp.arange(FEAT)[:, None] == _FO), 0.0, inst)
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _render_from_table(cfg: PallasConfig, table, gid_ext, start, nchunks,
+                       cnt, poff):
+    """Sorted-input tile rendering straight from the rank table.
+
+    Replaces pack-gather-into-padded-layout + placement scatter: instances
+    stay in the UNPADDED depth-sorted order the binning sort emits
+    (inst = table[:, gid_ext]); the kernels fetch aligned 2*CHUNK windows
+    and lane-rotate by the per-tile run phase (pltpu.roll). The backward
+    kernel writes per-instance grads to a CHUNK-aligned layout (poff) with
+    the rank id riding in row _FID, so the per-gaussian gradient reduction
+    scatter-adds directly off the kernel output — the ~7 ms 1-column
+    placement scatter of the aligned layout disappears entirely
+    (docs/kernels.md 'Measured instance-op primitives')."""
+    inst = table[:, gid_ext]
+    return _fwd_call(cfg, inst, start, nchunks, cnt, save_ckpt=False)
+
+
+def _render_from_table_fwd(cfg, table, gid_ext, start, nchunks, cnt, poff):
+    inst = table[:, gid_ext]
+    out, ckpt = _fwd_call(cfg, inst, start, nchunks, cnt, save_ckpt=True)
+    res = (inst, start, cnt, poff, out, ckpt, table.shape,
+           gid_ext.shape, nchunks.shape)
+    return out, res
+
+
+def _render_from_table_bwd(cfg, res, g_tiles):
+    (inst, start, cnt, poff, out, ckpt, tshape, gshape, nshape) = res
+    neff = out[:, 7, 0].astype(jnp.int32)
+    d_pad = _bwd_call(cfg, inst, start, neff, cnt, poff, g_tiles, out, ckpt)
+    # zero never-written slots (chunks >= neff are fully occluded => zero
+    # gradient); the per-tile bound poff[t] + CHUNK*neff[t] is
+    # non-decreasing, so it expands with a start-scatter + running max
+    pad = cfg.pad_cols
+    bound_marks = jnp.zeros((pad,), jnp.int32).at[poff].max(
+        poff + CHUNK * neff, mode="drop")
+    bound = jax.lax.cummax(bound_marks)
+    slot = jnp.arange(pad, dtype=jnp.int32)
+    d_pad = jnp.where((slot < bound)[None, :], d_pad, 0.0)
+    # per-gaussian (rank-space) reduction: indices come from the kernel's
+    # id row; masked/padding slots carry id 0 with zero grads
+    ids = d_pad[_FID].astype(jnp.int32)
+    d10 = jnp.zeros((10, tshape[1]), d_pad.dtype).at[:, ids].add(d_pad[:10])
+    d_table = jnp.concatenate(
+        [d10, jnp.zeros((tshape[0] - 10, tshape[1]), d_pad.dtype)], axis=0)
+    f0 = lambda s: np.zeros(s, jax.dtypes.float0)  # noqa: E731
+    return (d_table, f0(gshape), f0(nshape), f0(nshape), f0(nshape),
+            f0(nshape))
+
+
+_render_from_table.defvjp(_render_from_table_fwd, _render_from_table_bwd)
 
 
 class BandLayout(NamedTuple):
@@ -745,6 +870,8 @@ def render_tiles_raw(
         n_rows = y1_i - y0_i
 
     blocked = block_x != 1 or block_y != 1
+    num_tiles = sgrid_x * n_rows
+    pad_cols = _padded_capacity(max_instances, num_tiles, capacity_slack)
     cfg = PallasConfig(
         grid_x=sgrid_x,
         grid_y=n_rows,
@@ -753,6 +880,8 @@ def render_tiles_raw(
         pw=pw,
         ph=ph,
         rect_test=blocked,
+        sorted_input=True,
+        pad_cols=pad_cols,
     )
 
     banded = dynamic_band or tile_band is not None
@@ -761,13 +890,20 @@ def render_tiles_raw(
         band_start=y0 if banded else None,
         band_rows=n_rows if banded else None,
         tile_cull=tile_cull, capacity_slack=capacity_slack,
-        block_x=block_x, block_y=block_y)
+        block_x=block_x, block_y=block_y, aligned_layout=False)
     y_shift = (y0 * ph).astype(jnp.float32) if dynamic_band else float(y0 * ph)
-    inst = _pack_features(pre, binned.gauss_rank, binned.dorder,
-                          y_shift=y_shift if banded else 0.0,
-                          rect_rows=blocked)
+    table = _build_rank_table(pre, binned.dorder,
+                              y_shift=y_shift if banded else 0.0,
+                              rect_rows=blocked)
+    # extend the sorted id array so the last tile's 2*CHUNK DMA window
+    # never reads out of bounds (overrun rows are masked in-kernel)
+    gid_ext = jnp.concatenate(
+        [binned.gid_sorted,
+         jnp.zeros((2 * CHUNK,), jnp.int32)], axis=0)
 
-    tiles = _render_tiles(cfg, inst, binned.tile_offset, binned.tile_nchunks)
+    tiles = _render_from_table(cfg, table, gid_ext, binned.sorted_start,
+                               binned.tile_nchunks, binned.cnt_allowed,
+                               binned.tile_offset)
 
     # [T, 8, npix] -> [8, band_h, Wp]
     band = (

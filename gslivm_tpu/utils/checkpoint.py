@@ -94,6 +94,10 @@ def load_mapper(mapper, path: str):
     mapper.loss_anchors = host["loss_anchors"]
     mapper.cameras = host["cameras"]
     mapper.gt_images = host["gt_images"]
+    # re-stage the device-resident GT stack (pipeline.py keeps GT images on
+    # device from keyframe insertion on; the sidecar stores host copies)
+    mapper._gt_device = [jax.device_put(jnp.asarray(g))
+                         for g in mapper.gt_images]
     mapper._last_key_pose = host["last_key_pose"]
     mapper.gpmap.cells = {
         h: _Cell(ijk=ijk, points=pts, variance=var, converged=conv)
