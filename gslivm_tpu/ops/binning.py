@@ -145,44 +145,64 @@ def bin_instances(
     dorder = jnp.argsort(
         jnp.where(pre.valid, depth, jnp.inf), stable=True
     ).astype(jnp.int32)
-    rect_min = pre.rect_min[dorder]
-    rect_max = pre.rect_max[dorder]
+
+    # ONE stacked permute at dorder for every per-gaussian row the binning
+    # needs (rects + validity + the cull terms): gather cost on TPU is
+    # per-INDEX, so merging the 5+ separate [P]-gathers into one [rows, P]
+    # fetch is a direct win. Rects ride as exact f32 (values < 2^12); the
+    # supertile cover and band clip below stay exact in f32 (IEEE division
+    # by a small-int constant never crosses an integer away from an exact
+    # multiple at these magnitudes).
+    base_rows = [
+        pre.rect_min[:, 0].astype(jnp.float32),
+        pre.rect_min[:, 1].astype(jnp.float32),
+        pre.rect_max[:, 0].astype(jnp.float32),
+        pre.rect_max[:, 1].astype(jnp.float32),
+        pre.valid.astype(jnp.float32),
+    ]
+    if tile_cull:
+        mean2d = jax.lax.stop_gradient(pre.mean2d)
+        conic = jax.lax.stop_gradient(pre.conic)
+        op = jax.lax.stop_gradient(jnp.where(pre.valid, pre.opacity, 0.0))
+        ca, cb, cc = conic[:, 0], conic[:, 1], conic[:, 2]
+        # hoisted per-gaussian cull terms: edge-stationary-point slopes
+        # (tile_min_power rb_a/rb_c) and the LOG-domain keep threshold
+        # (q_min <= log(op / EPS) <=> op * exp(-q_min) >= EPS), replacing a
+        # per-instance exp with a compare; +1e-6 slack keeps the boundary
+        # strictly conservative (never culls a contributing instance)
+        lq = jnp.where(
+            op > 0.0,
+            jnp.log(jnp.maximum(op, 1e-30) / TILE_CULL_EPS) + 1e-6,
+            -jnp.inf)
+        base_rows += [mean2d[:, 0], mean2d[:, 1], ca, cb, cc,
+                      -cb / jnp.maximum(ca, 1e-12),
+                      -cb / jnp.maximum(cc, 1e-12), lq]
+    gtab = jnp.stack(base_rows, axis=0)[:, dorder]
+    rmin_x, rmin_y = gtab[0], gtab[1]
+    rmax_x, rmax_y = gtab[2], gtab[3]
+    validg = gtab[4] > 0.0
+    ftab = gtab[5:]
     if blocked:
         # exact supertile cover of the tile range [rect_min, rect_max):
-        # floor/ceil division (rects are already clipped to >= 0). Empty
-        # rects must STAY empty (ceil(k/b) > floor(k/b) when b doesn't
-        # divide k), hence the area gate below. Divisors are PYTHON ints so
-        # XLA strength-reduces them (a vector divisor lowers to the full
-        # VPU integer-division sequence — measured ~3 ms at 200k rects).
-        empty = (rect_max[:, 0] <= rect_min[:, 0]) | (
-            rect_max[:, 1] <= rect_min[:, 1])
-        rect_min = jnp.stack(
-            [rect_min[:, 0] // block_x, rect_min[:, 1] // block_y], axis=1)
-        rect_max = jnp.stack(
-            [-((-rect_max[:, 0]) // block_x),
-             -((-rect_max[:, 1]) // block_y)], axis=1)
-        rect_max = jnp.where(empty[:, None], rect_min, rect_max)
+        # floor/ceil division by python-int block factors. Empty rects must
+        # STAY empty (ceil(k/b) > floor(k/b) when b doesn't divide k),
+        # hence the area gate below.
+        empty = (rmax_x <= rmin_x) | (rmax_y <= rmin_y)
+        rmin_x = jnp.floor(rmin_x / block_x)
+        rmin_y = jnp.floor(rmin_y / block_y)
+        rmax_x = -jnp.floor(-rmax_x / block_x)
+        rmax_y = -jnp.floor(-rmax_y / block_y)
+        rmax_x = jnp.where(empty, rmin_x, rmax_x)
+        rmax_y = jnp.where(empty, rmin_y, rmax_y)
     if banded:
         # clip rects to the band (band-relative y) and recompute counts
-        rect_min = rect_min.at[:, 1].set(
-            jnp.clip(rect_min[:, 1], y0, y1) - y0)
-        rect_max = rect_max.at[:, 1].set(
-            jnp.clip(rect_max[:, 1], y0, y1) - y0)
-        counts = jnp.where(
-            pre.valid[dorder],
-            (rect_max[:, 0] - rect_min[:, 0])
-            * (rect_max[:, 1] - rect_min[:, 1]),
-            0,
-        ).astype(jnp.int32)
-    elif blocked:
-        counts = jnp.where(
-            pre.valid[dorder],
-            (rect_max[:, 0] - rect_min[:, 0])
-            * (rect_max[:, 1] - rect_min[:, 1]),
-            0,
-        ).astype(jnp.int32)
-    else:
-        counts = pre.tiles_touched[dorder].astype(jnp.int32)
+        y0f = jnp.asarray(y0, jnp.float32)
+        y1f = jnp.asarray(y1, jnp.float32)
+        rmin_y = jnp.clip(rmin_y, y0f, y1f) - y0f
+        rmax_y = jnp.clip(rmax_y, y0f, y1f) - y0f
+    counts = jnp.where(
+        validg, (rmax_x - rmin_x) * (rmax_y - rmin_y), 0.0
+    ).astype(jnp.int32)
 
     offsets = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)]
@@ -211,36 +231,16 @@ def bin_instances(
     #    only runs intersecting [0, max_instances) are ever read back), NOT
     #    bitcasts: bitcast int32 bit patterns are f32 denormals, which TPU
     #    flushes to zero outside fused computations.
-    rect_w = jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 1)
-    int_rows = [rect_min[:, 0], rect_min[:, 1], rect_w,
-                jnp.minimum(offsets, max_instances)]
-    meta_rows = [v.astype(jnp.float32) for v in int_rows]
-    # per-GAUSSIAN reciprocal of the rect width: every per-instance f32
-    # divide (the most expensive VPU elementwise op) is hoisted to the
-    # (30x smaller) rank table and GATHERED — row count in the merged
-    # gather is nearly free, index count is what costs (docs/kernels.md)
-    meta_rows.append(1.0 / rect_w.astype(jnp.float32))
+    rect_w = jnp.maximum(rmax_x - rmin_x, 1.0)
+    meta_rows = [rmin_x, rmin_y, rect_w,
+                 jnp.minimum(offsets, max_instances).astype(jnp.float32),
+                 # per-GAUSSIAN reciprocal of the rect width: every
+                 # per-instance f32 divide (the costliest VPU elementwise
+                 # op) is hoisted to the (30x smaller) rank table and
+                 # GATHERED — row count in the merged gather is nearly
+                 # free, index count is what costs (docs/kernels.md)
+                 1.0 / rect_w]
     if tile_cull:
-        mean2d = jax.lax.stop_gradient(pre.mean2d)
-        conic = jax.lax.stop_gradient(pre.conic)
-        op = jax.lax.stop_gradient(jnp.where(pre.valid, pre.opacity, 0.0))
-        ca = conic[:, 0]
-        cb = conic[:, 1]
-        cc = conic[:, 2]
-        # hoisted per-gaussian cull terms: edge-stationary-point slopes
-        # (tile_min_power rb_a/rb_c) and the LOG-domain keep threshold
-        # (q_min <= log(op / EPS) <=> op * exp(-q_min) >= EPS), replacing a
-        # per-instance exp with a compare; +1e-6 slack keeps the boundary
-        # strictly conservative (never culls a contributing instance)
-        lq = jnp.where(
-            op > 0.0,
-            jnp.log(jnp.maximum(op, 1e-30) / TILE_CULL_EPS) + 1e-6,
-            -jnp.inf)
-        ftab = jnp.stack(
-            [mean2d[:, 0], mean2d[:, 1], ca, cb, cc,
-             -cb / jnp.maximum(ca, 1e-12),
-             -cb / jnp.maximum(cc, 1e-12), lq], axis=0
-        )[:, dorder]
         meta = jnp.concatenate([jnp.stack(meta_rows, axis=0), ftab], axis=0)
     else:
         meta = jnp.stack(meta_rows, axis=0)
@@ -290,9 +290,13 @@ def bin_instances(
 
     # 5) Per-tile ranges (identifyTileRanges equivalent; 8k-element
     #    searchsorted over the sorted 2M keys is cheap) + cap + CHUNK-pad.
-    tids = jnp.arange(num_tiles, dtype=jnp.int32)
-    start = jnp.searchsorted(tile_sorted, tids, side="left").astype(jnp.int32)
-    end = jnp.searchsorted(tile_sorted, tids, side="right").astype(jnp.int32)
+    # keys are ints, so right(t) == left(t+1): ONE searchsorted with T+1
+    # queries replaces the left/right pair
+    tids = jnp.arange(num_tiles + 1, dtype=jnp.int32)
+    bounds = jnp.searchsorted(tile_sorted, tids,
+                              side="left").astype(jnp.int32)
+    start = bounds[:num_tiles]
+    end = bounds[1:]
     cnt = end - start
 
     cnt_capped = jnp.minimum(cnt, CHUNK * max_chunks_per_tile)

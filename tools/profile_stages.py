@@ -52,17 +52,21 @@ def main():
     bx, by = BLOCK
     grid_x, grid_y = tile_grid(WIDTH, HEIGHT)
     sgx, sgy = -(-grid_x // bx), -(-grid_y // by)
+    num_tiles = sgx * sgy
+    pad_cols = B._padded_capacity(MAXI, num_tiles, SLACK)
     cfg = RP.PallasConfig(grid_x=sgx, grid_y=sgy,
                           max_chunks_per_tile=MAXCH, interpret=False,
-                          pw=16 * bx, ph=16 * by, rect_test=True)
+                          pw=16 * bx, ph=16 * by, rect_test=True,
+                          sorted_input=True, pad_cols=pad_cols)
 
-    def _bin(pre):
+    def _bin(pre, aligned=False):
         return B.bin_instances(pre, WIDTH, HEIGHT, MAXI, MAXCH,
-                               capacity_slack=SLACK, block_x=bx, block_y=by)
+                               capacity_slack=SLACK, block_x=bx, block_y=by,
+                               aligned_layout=aligned)
 
     # ---- instance statistics (sizing max_instances) ----------------------
     pre0 = preprocess(means, scales, quats, opac, shs, cam)
-    b = _bin(pre0)
+    b = _bin(pre0, aligned=True)
     kept = int(jnp.sum(b.gauss_rank >= 0))
     print(f"expansion total (rect area): {int(b.num_instances)}")
     print(f"kept after cull+cap        : {kept}")
@@ -78,19 +82,23 @@ def main():
     def s_bin(ms, sc, qu, op, sh):
         return _bin(preprocess(ms, sc, qu, op, sh, cam))
 
-    def s_pack(ms, sc, qu, op, sh):
+    def _table_gid(ms, sc, qu, op, sh):
         pre = preprocess(ms, sc, qu, op, sh, cam)
         binned = _bin(pre)
-        return RP._pack_features(pre, binned.gauss_rank, binned.dorder,
-                                 rect_rows=True)
+        table = RP._build_rank_table(pre, binned.dorder, rect_rows=True)
+        gid_ext = jnp.concatenate(
+            [binned.gid_sorted, jnp.zeros((2 * B.CHUNK,), jnp.int32)])
+        return binned, table, gid_ext
+
+    def s_pack(ms, sc, qu, op, sh):
+        binned, table, gid_ext = _table_gid(ms, sc, qu, op, sh)
+        return table[:, gid_ext]
 
     def s_fwd(ms, sc, qu, op, sh):
-        pre = preprocess(ms, sc, qu, op, sh, cam)
-        binned = _bin(pre)
-        inst = RP._pack_features(pre, binned.gauss_rank, binned.dorder,
-                                 rect_rows=True)
-        return RP._render_tiles(cfg, inst, binned.tile_offset,
-                                binned.tile_nchunks)
+        binned, table, gid_ext = _table_gid(ms, sc, qu, op, sh)
+        return RP._render_from_table(
+            cfg, table, gid_ext, binned.sorted_start, binned.tile_nchunks,
+            binned.cnt_allowed, binned.tile_offset)
 
     def s_full_fwd(ms, sc, qu, op, sh):
         out = RP.rasterize_pallas(ms, sc, qu, op, sh, cam,
@@ -101,12 +109,10 @@ def main():
     grad_full = jax.grad(s_full_fwd, argnums=(0, 1, 2, 3, 4))
 
     def s_kernel_loss(ms, sc, qu, op, sh):
-        pre = preprocess(ms, sc, qu, op, sh, cam)
-        binned = _bin(pre)
-        inst = RP._pack_features(pre, binned.gauss_rank, binned.dorder,
-                                 rect_rows=True)
-        tiles = RP._render_tiles(cfg, inst, binned.tile_offset,
-                                 binned.tile_nchunks)
+        binned, table, gid_ext = _table_gid(ms, sc, qu, op, sh)
+        tiles = RP._render_from_table(
+            cfg, table, gid_ext, binned.sorted_start, binned.tile_nchunks,
+            binned.cnt_allowed, binned.tile_offset)
         return jnp.sum(tiles[:, :5, :] ** 2)
 
     grad_kernel = jax.grad(s_kernel_loss, argnums=(0, 1, 2, 3, 4))
