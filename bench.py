@@ -26,7 +26,10 @@ import numpy as np
 
 WIDTH, HEIGHT = 1920, 1080
 N_GAUSS = 200_000
-MAX_INSTANCES = 6700 * 128  # 857.6k; measured supertile-2x2 expansion for
+MAX_INSTANCES = 6700 * 128  # NOTE: fitted to THIS exact scene generator —
+# re-measure via tools/profile_stages.py whenever the scene changes, or the
+# overflow==0 probe below will abort the run (by design: budgets must stay
+# lossless). 857.6k; measured supertile-2x2 expansion for
 # this scene is 846,230 (tools/profile_stages.py) — the CUDA reference
 # allocates exactly num_rendered, so a ~1% static headroom is the fair TPU
 # analog. Every instance-space op (pack, kernel grad writes, and above all

@@ -40,6 +40,9 @@ def main():
     ap.add_argument("--watchdog-period", type=float, default=1000.0,
                     help="stall-watchdog check period in seconds "
                          "(heartHandler analog)")
+    ap.add_argument("--overlap", action="store_true",
+                    help="train in a worker thread overlapped with bag "
+                         "decoding + odometry (optimize_vis thread analog)")
     args = ap.parse_args()
 
     import jax
@@ -93,7 +96,15 @@ def main():
     dog = StallWatchdog(period_s=args.watchdog_period)
     dog.start()
 
+    cm = None
+    if args.overlap:
+        from gslivm_tpu.pipeline import ConcurrentMapper
+
+        cm = ConcurrentMapper(mapper,
+                              iters_per_frame=args.train_iters_per_frame)
+
     t0 = time.time()
+    t_frontend = 0.0
     count = 0
     trained = 0
     for msg in rosbag.read_bag(
@@ -101,6 +112,7 @@ def main():
         if dog.stopped:
             print("watchdog: no sensor data for a full period — stopping")
             break
+        tf0 = time.perf_counter()
         rec = rosbag.decode(msg, lidar_type=cfg.common.lidar_type)
         from gslivm_tpu.frontend.sensors import ImageSample, ImuSample, LidarSweep
 
@@ -113,18 +125,30 @@ def main():
         elif isinstance(rec, ImageSample):
             with Timer.evaluate("image_frame"):
                 fe.push_image(rec.t, rec.image)
+        t_frontend += time.perf_counter() - tf0
         count += 1
         if args.max_messages and count >= args.max_messages:
             break
 
         for frame in fe.pop_frames():
+            q, p = fe.pose
+            outputs.append_tum_pose(os.path.join(args.out, "pose.txt"),
+                                    msg.t, p, [q[1], q[2], q[3], q[0]])
+            if cm is not None:
+                cm.submit_frame(frame)
+                if mapper.started:
+                    dog.notify_started()
+                m = cm.last_metrics
+                if m is not None and cm.trained % 50 == 0:
+                    print(f"msgs {count:7d} gaussians "
+                          f"{int(mapper.params.n_active):8d} "
+                          f"kf {len(mapper.cameras):4d} "
+                          f"loss {float(m.loss):.4f}", flush=True)
+                continue
             with Timer.evaluate("gsPointCloudUpdate"):
                 stats = mapper.add_frame(frame)
             if mapper.started:
                 dog.notify_started()  # is_gs_started gate
-            q, p = fe.pose
-            outputs.append_tum_pose(os.path.join(args.out, "pose.txt"),
-                                    msg.t, p, [q[1], q[2], q[3], q[0]])
             for _ in range(args.train_iters_per_frame):
                 with Timer.evaluate("optimize_vis_iter"):
                     m = mapper.train_iteration()
@@ -133,6 +157,21 @@ def main():
                 print(f"msgs {count:7d} gaussians {stats['active']:8d} "
                       f"kf {stats['keyframes']:4d} loss {float(m.loss):.4f} "
                       f"psnr {float(m.psnr):.2f}", flush=True)
+
+    if cm is not None:
+        mapper = cm.finish()
+        trained = cm.trained
+        import json
+
+        wall = time.time() - t0
+        serial_sum = t_frontend + cm.busy_s
+        print("pipeline:", json.dumps({
+            "mode": "overlap", "wall_s": round(wall, 3),
+            "frontend_s": round(t_frontend, 3),
+            "mapper_busy_s": round(cm.busy_s, 3),
+            "serial_sum_s": round(serial_sum, 3),
+            "overlap_gain": round(serial_sum / wall, 3) if wall else None,
+            "train_iters": trained}), flush=True)
 
     # shutdown artifacts (saveRender / saveColorPoints equivalents)
     mapper.save_ply(os.path.join(args.out, "map.ply"))

@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--backend", default="auto",
                     help="rasterizer backend: auto|naive|pallas")
     ap.add_argument("--cpu", action="store_true", help="force CPU")
+    ap.add_argument("--overlap", action="store_true",
+                    help="run the mapper/training in a worker thread "
+                         "overlapped with the front-end (the reference's "
+                         "optimize_vis thread topology)")
     args = ap.parse_args()
 
     import jax
@@ -78,7 +82,30 @@ def main():
         fe.push_imu(t, np.zeros(3), g + rng.normal(0, 1e-3, 3))
         t += 0.005
 
+    # NOTE: the demo front-end holds the sensor static per sweep packet (the
+    # synthetic trajectory moves cameras for mapping variety); feed the
+    # mapper with GT-posed frames like the dataset path would.
+    frames = synthetic.make_sequence(args.frames, args.width, args.height,
+                                     points_per_frame=5000)
+    iters_per_frame = max(1, -(-args.iters // max(args.frames, 1)))
+
+    # ---- the live loop: per sweep, front-end work + mapping + training.
+    # Serial mode runs them back to back (frontend -> add_frame -> train);
+    # --overlap submits frames to the ConcurrentMapper worker so the device
+    # trains WHILE the host front-end processes the next sweep (the
+    # reference's optimize_vis thread, lioOptimization.cpp:2496-2501).
+    cm = None
+    if args.overlap:
+        from gslivm_tpu.pipeline import ConcurrentMapper
+
+        cm = ConcurrentMapper(mapper, iters_per_frame=iters_per_frame)
+
+    t_loop0 = time.perf_counter()
+    t_frontend = 0.0
+    t_mapper_serial = 0.0
+    stats = None
     for k, cam in enumerate(cams):
+        tf0 = time.perf_counter()
         with Timer.evaluate("frontend_sweep"):
             R_wc = np.asarray(cam.R_cw).T
             center = np.asarray(cam.cam_center)
@@ -95,29 +122,53 @@ def main():
         q, p = fe.pose
         outputs.append_tum_pose(os.path.join(args.out, "pose.txt"),
                                 t, p, [q[1], q[2], q[3], q[0]])
+        t_frontend += time.perf_counter() - tf0
 
-    # NOTE: the demo front-end holds the sensor static per sweep packet (the
-    # synthetic trajectory moves cameras for mapping variety); feed the
-    # mapper with GT-posed frames like the dataset path would.
-    frames = synthetic.make_sequence(args.frames, args.width, args.height,
-                                     points_per_frame=5000)
+        if cm is not None:
+            cm.submit_frame(frames[k])
+        else:
+            tm0 = time.perf_counter()
+            with Timer.evaluate("gsPointCloudUpdate"):
+                stats = mapper.add_frame(frames[k])
+            metrics = None
+            for _ in range(iters_per_frame):
+                with Timer.evaluate("optimize_vis_iter"):
+                    metrics = mapper.train_iteration() or metrics
+            t_mapper_serial += time.perf_counter() - tm0
+            if metrics is not None:
+                print(f"frame {k} loss {float(metrics.loss):.4f} "
+                      f"psnr {float(metrics.psnr):.2f}")
 
-    # ---- mapping ----
-    for fr in frames:
-        with Timer.evaluate("gsPointCloudUpdate"):
-            stats = mapper.add_frame(fr)
-    print("map:", stats)
+    if cm is not None:
+        mapper = cm.finish()
+        t_mapper = cm.busy_s
+        trained = cm.trained
+    else:
+        import jax as _jax
 
-    e0 = mapper.evaluate()
-    for i in range(args.iters):
-        with Timer.evaluate("optimize_vis_iter"):
-            metrics = mapper.train_iteration()
-        if metrics and i % 10 == 0:
-            print(f"iter {i:4d} loss {float(metrics.loss):.4f} "
-                  f"psnr {float(metrics.psnr):.2f} simi {float(metrics.simi):.4f}")
+        _jax.block_until_ready(mapper.params.xyz)
+        t_mapper = t_mapper_serial
+        trained = mapper.iter
+    wall = time.perf_counter() - t_loop0
+
+    import json
+
+    serial_sum = t_frontend + t_mapper
+    overlap_stats = {
+        "mode": "overlap" if args.overlap else "serial",
+        "frames": args.frames,
+        "train_iters": trained,
+        "wall_s": round(wall, 3),
+        "frontend_s": round(t_frontend, 3),
+        "mapper_busy_s": round(t_mapper, 3),
+        "serial_sum_s": round(serial_sum, 3),
+        "overlap_gain": round(serial_sum / wall, 3) if wall > 0 else None,
+        "wall_fps": round(args.frames / wall, 3) if wall > 0 else None,
+    }
+    print("pipeline:", json.dumps(overlap_stats))
+
     e1 = mapper.evaluate()
-    print(f"eval: psnr {e0['mean_psnr']:.2f} -> {e1['mean_psnr']:.2f}, "
-          f"ssim {e0['mean_ssim']:.3f} -> {e1['mean_ssim']:.3f}")
+    print(f"eval: psnr {e1['mean_psnr']:.2f}, ssim {e1['mean_ssim']:.3f}")
 
     # ---- artifacts (saveRender / saveColorPoints equivalents) ----
     mapper.save_ply(os.path.join(args.out, "map.ply"))

@@ -36,6 +36,14 @@ class GsOptimParams:
     empty_iterations: int = 200
     adam_eps: float = 1e-15  # gaussian.cu:421-427
     spatial_lr_scale: float = 1.0
+    # Pruning lifecycle (capability completion of the reference's
+    # never-called prune_optimizer, gaussian.cu:430): every prune_interval
+    # training iterations the mapper drops gaussians whose activated
+    # opacity fell below prune_min_opacity, compacting the Adam state with
+    # the same permutation and remapping the hash->index registry. 0
+    # disables (exact reference behavior: the map only ever grows).
+    prune_interval: int = 500
+    prune_min_opacity: float = 0.005
 
 
 @dataclasses.dataclass(frozen=True)

@@ -21,9 +21,19 @@ from ..models.cameras import make_camera
 from ..ops.gp3d import CameraProjection
 from ..pipeline import Frame
 from . import so3
-from .odometry import Odometry, motion_compensate_constant
+from .odometry import (
+    Odometry,
+    motion_compensate_constant,
+    motion_compensate_imu,
+)
 from .sensors import ImageSample, ImuSample, LidarSweep, MeasurementSync, filter_sweep
-from .vio import ColorPointMap, OpticalFlowTracker, VioState, vio_esikf
+from .vio import (
+    ColorPointMap,
+    OpticalFlowTracker,
+    VioState,
+    vio_esikf,
+    vio_photometric,
+)
 
 
 class LivoFrontend:
@@ -124,16 +134,27 @@ class LivoFrontend:
 
     def _drain(self):
         for m in self.sync.get():
-            # IMU-rate propagation (run loop, 2289-2478)
+            # IMU-rate propagation (run loop, 2289-2478); the state trail
+            # feeds the IMU deskew path below
+            self.odometry.begin_sweep_states()
             for s in m.imu:
                 self.odometry.add_imu(s.t, s.gyr, s.acc)
 
-            # motion compensation to sweep end (buildFrame, 991-1063)
+            # motion compensation to sweep end (buildFrame, 991-1063),
+            # dispatched on odometry_options.motion_compensation exactly as
+            # the reference does (lioOptimization.cpp:1006-1009)
             q1, p1 = self.odometry.eskf.q.copy(), self.odometry.eskf.p.copy()
-            pts = motion_compensate_constant(
-                m.points, m.rel_time, self._last_q, self._last_p, q1, p1,
-                self.odometry.R_il, self.odometry.t_il,
-                duration_s=m.time_sweep_delta)
+            mc = self.cfg.odometry.motion_compensation.upper()
+            if mc == "IMU" and len(self.odometry.imu_states) >= 2:
+                pts = motion_compensate_imu(
+                    m.points, m.rel_time, self.odometry.imu_states,
+                    m.time_sweep_begin, q1, p1,
+                    self.odometry.R_il, self.odometry.t_il)
+            else:
+                pts = motion_compensate_constant(
+                    m.points, m.rel_time, self._last_q, self._last_p, q1, p1,
+                    self.odometry.R_il, self.odometry.t_il,
+                    duration_s=m.time_sweep_delta)
             self._last_q, self._last_p = q1, p1
 
             res = self.odometry.add_sweep(m.time_image, pts)
@@ -149,7 +170,9 @@ class LivoFrontend:
         R_cw, t_cw, center = self._camera_pose()
         gray = cv2.cvtColor(m.image, cv2.COLOR_RGB2GRAY)
 
-        # track + PnP gate + esikf (imageProcessing::process)
+        # track + PnP gate + esikf + photometric (imageProcessing::process,
+        # imageProcessing.cpp:151-194 order: trackImage -> RANSAC PnP ->
+        # vioEsikf -> vioPhotometric every rendering frame)
         if self.tracker.track(gray, m.time_image, self.color_map):
             if self.tracker.ransac_pnp(self.color_map, self.K):
                 R_wi = so3.quat_to_rot(self.odometry.eskf.q)
@@ -159,6 +182,12 @@ class LivoFrontend:
                     number_new_voxels=max(len(self.color_map.recent_voxels), 1),
                     estimate_extrinsic=self.estimate_extrinsic,
                     estimate_intrinsic=self.estimate_intrinsic,
+                )
+                self.vio_state, _ = vio_photometric(
+                    self.vio_state, self.color_map, self.tracker.track_idx,
+                    m.image, R_wi, self.odometry.eskf.p,
+                    number_new_voxels=max(len(self.color_map.recent_voxels), 1),
+                    estimate_extrinsic=self.estimate_extrinsic,
                 )
                 if self.estimate_extrinsic:
                     # refreshed extrinsics feed the projection pose

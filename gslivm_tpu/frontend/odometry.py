@@ -278,6 +278,18 @@ class Odometry:
         self.poses: list[tuple[float, np.ndarray, np.ndarray]] = []
         self._imu_buffer: list[tuple[float, np.ndarray, np.ndarray]] = []
         self._last_imu_time: float | None = None
+        # per-sweep IMU state trail for distortFrameByImu-style deskewing
+        # (the reference's v_imu/imu_states list, lioOptimization.cpp:2398);
+        # entry i+1 carries the (un_acc_world, un_gyr_body) that propagated
+        # state i -> i+1. Reset each packet via begin_sweep_states().
+        self.imu_states: list[tuple] = []
+
+    def begin_sweep_states(self):
+        """Seed the per-sweep IMU state trail with the current filter state
+        (called at the start of each measurement packet)."""
+        t0 = self._last_imu_time if self._last_imu_time is not None else 0.0
+        self.imu_states = [(t0, self.eskf.q.copy(), self.eskf.p.copy(),
+                            self.eskf.v.copy(), np.zeros(3), np.zeros(3))]
 
     # ----- IMU path (run loop, 2289-2478) -----
     def add_imu(self, t: float, gyr, acc):
@@ -290,7 +302,18 @@ class Odometry:
             return
         dt = t - (self._last_imu_time if self._last_imu_time is not None else t)
         if dt > 0:
+            # mid-point increments exactly as predict() uses them; recorded
+            # for the IMU deskew path (utility.cpp:246-322 needs the
+            # world-frame net acceleration and body angular rate per segment)
+            un_gyr = 0.5 * (self.eskf.gyr_0 + gyr) - self.eskf.bg
+            un_acc = (so3.quat_to_rot(self.eskf.q)
+                      @ (0.5 * (self.eskf.acc_0 + acc) - self.eskf.ba)
+                      - self.eskf.g)
             self.eskf.predict(dt, acc, gyr)
+            if self.imu_states:
+                self.imu_states.append(
+                    (t, self.eskf.q.copy(), self.eskf.p.copy(),
+                     self.eskf.v.copy(), un_acc, un_gyr))
         self._last_imu_time = t
 
     # ----- LiDAR sweep (process, 1319-1490) -----

@@ -178,25 +178,28 @@ def append_points(
     )
 
 
-def prune(params: GaussianParams, keep_mask) -> GaussianParams:
-    """Compact the model to the gaussians where keep_mask is True.
+def prune_permutation(params: GaussianParams, keep_mask):
+    """(order, count) of the stable partition that compacts `keep_mask`.
 
-    The reference DEFINES prune_optimizer but never calls it (gaussian.cu:
-    430, SURVEY §2.3) — pruning here is a real capability: low-opacity or
-    out-of-frustum gaussians can be dropped and the capacity reused. The
-    optimizer state must be re-initialized (or compacted with the same
-    permutation) by the caller. Stable order is preserved.
+    `order` moves kept gaussians to the front preserving their relative
+    order; apply it to the parameters (compact) AND to the Adam moments
+    (training.compact_opt_state) so optimizer state follows its gaussian —
+    the working analog of the reference's never-called prune_optimizer
+    surgery (gaussian.cu:430-449).
     """
-    import jax.numpy as _jnp
+    keep_mask = jnp.asarray(keep_mask) & params.active_mask()
+    order = jnp.argsort(~keep_mask, stable=True)
+    count = jnp.sum(keep_mask).astype(jnp.int32)
+    return order, count
 
-    keep_mask = _jnp.asarray(keep_mask) & params.active_mask()
-    order = _jnp.argsort(~keep_mask, stable=True)
-    count = _jnp.sum(keep_mask).astype(_jnp.int32)
+
+def compact(params: GaussianParams, order, count) -> GaussianParams:
+    """Apply a prune permutation: kept rows to the front, rest zeroed."""
 
     def take(buf):
         out = buf[order]
-        live = _jnp.arange(buf.shape[0]) < count
-        return _jnp.where(live.reshape((-1,) + (1,) * (buf.ndim - 1)), out, 0)
+        live = jnp.arange(buf.shape[0]) < count
+        return jnp.where(live.reshape((-1,) + (1,) * (buf.ndim - 1)), out, 0)
 
     return params.replace(
         xyz=take(params.xyz),
@@ -207,6 +210,20 @@ def prune(params: GaussianParams, keep_mask) -> GaussianParams:
         opacity=take(params.opacity),
         n_active=count,
     )
+
+
+def prune(params: GaussianParams, keep_mask) -> GaussianParams:
+    """Compact the model to the gaussians where keep_mask is True.
+
+    The reference DEFINES prune_optimizer but never calls it (gaussian.cu:
+    430, SURVEY §2.3) — pruning here is a real capability: low-opacity or
+    out-of-frustum gaussians can be dropped and the capacity reused. The
+    optimizer state must be re-initialized (or compacted with the same
+    permutation via prune_permutation + training.compact_opt_state) by the
+    caller. Stable order is preserved.
+    """
+    order, count = prune_permutation(params, keep_mask)
+    return compact(params, order, count)
 
 
 def prune_low_opacity(params: GaussianParams, min_opacity: float = 0.005) -> GaussianParams:
@@ -270,6 +287,20 @@ class HashIndexRegistry:
 
     def lookup(self, voxel_hash: int):
         return self._ranges.get(voxel_hash)
+
+    def remap_pruned(self, keep: np.ndarray):
+        """Remap index ranges after prune(keep): the stable partition keeps
+        relative order, so every surviving range stays CONTIGUOUS; its new
+        start is the number of kept gaussians before its old start. Ranges
+        whose gaussians were all dropped are removed."""
+        keep = np.asarray(keep, bool)
+        prefix = np.concatenate([[0], np.cumsum(keep.astype(np.int64))])
+        new: dict[int, tuple[int, int]] = {}
+        for h, (s, c) in self._ranges.items():
+            nc = int(prefix[s + c] - prefix[s])
+            if nc > 0:
+                new[h] = (int(prefix[s]), nc)
+        self._ranges = new
 
     def indices_for(self, hashes) -> np.ndarray:
         out = []

@@ -138,6 +138,28 @@ def grow_opt_state(opt_state, old_capacity: int, new_capacity: int):
     return jax.tree.map(grow, opt_state)
 
 
+def compact_opt_state(opt_state, order, count):
+    """Permute + zero Adam moments with a prune permutation.
+
+    Twin of gaussian_model.compact for the optimizer pytree (the working
+    prune_optimizer analog, gaussian.cu:430-449): every state leaf with
+    leading dim == capacity is re-ordered so each gaussian keeps its own
+    moments, and rows past the surviving count reset to zero (freshly
+    freed slots start cold, exactly like newly appended ones).
+    """
+    cap = order.shape[0]
+    live = jnp.arange(cap) < count
+
+    def go(leaf):
+        if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] == cap:
+            out = leaf[order]
+            return jnp.where(live.reshape((-1,) + (1,) * (leaf.ndim - 1)),
+                             out, 0)
+        return leaf
+
+    return jax.tree.map(go, opt_state)
+
+
 # ---------------------------------------------------------------------------
 # Structural losses
 # ---------------------------------------------------------------------------
@@ -285,6 +307,12 @@ class TrainMetrics(NamedTuple):
     # pipeline.IncrementalMapper escalates max_instances on a sustained
     # streak (the CUDA resize-callback analog, rasterize_points.cu:36-44)
     overflow: jnp.ndarray = np.int32(0)
+    # budget feedback (max over this step's renders): the true instance
+    # expansion and the busiest tile's chunk count — the mapper auto-fits
+    # max_instances / max_chunks_per_tile from these (the TPU analog of
+    # CUDA's exact num_rendered allocation, rasterizer_impl.cu:277)
+    num_instances: jnp.ndarray = np.int32(0)
+    max_nchunks: jnp.ndarray = np.int32(0)
 
 
 def render_params(params: GaussianParams, camera: Camera, bg_color,
@@ -330,10 +358,14 @@ def _train_step_impl(
         renders = []
         psnr0 = ssim0 = None
         overflow = jnp.zeros((), jnp.int32)
+        n_inst = jnp.zeros((), jnp.int32)
+        n_chunks = jnp.zeros((), jnp.int32)
         for i, cam in enumerate(cameras):
             out = render_params(p, cam, bg_color, settings)
             renders.append(out)
             overflow = jnp.maximum(overflow, out.overflow)
+            n_inst = jnp.maximum(n_inst, out.num_instances)
+            n_chunks = jnp.maximum(n_chunks, out.max_nchunks)
             l1 = loss_ops.l1_loss(out.color, gt_images[i])
             ss = loss_ops.ssim(out.color, gt_images[i])
             img_losses.append(
@@ -359,11 +391,11 @@ def _train_step_impl(
             )
 
         total = image_total + s_loss + d_loss
-        return total, (image_total, s_loss, d_loss, psnr0, ssim0, overflow)
+        return total, (image_total, s_loss, d_loss, psnr0, ssim0, overflow,
+                       n_inst, n_chunks)
 
-    (loss, (img_l, s_l, d_l, psnr0, ssim0, ovf)), grads = jax.value_and_grad(
-        total_loss, has_aux=True, allow_int=True
-    )(params)
+    (loss, (img_l, s_l, d_l, psnr0, ssim0, ovf, n_inst, n_chunks)), grads = \
+        jax.value_and_grad(total_loss, has_aux=True, allow_int=True)(params)
     # int leaves (n_active) get float0 grads; give the optimizer a zero
     grads = grads.replace(n_active=jnp.zeros((), jnp.float32))
 
@@ -372,7 +404,7 @@ def _train_step_impl(
     # n_active is integer bookkeeping, never optimized
     metrics = TrainMetrics(
         loss=loss, image_loss=img_l, simi=s_l, delta=d_l, psnr=psnr0,
-        ssim=ssim0, overflow=ovf,
+        ssim=ssim0, overflow=ovf, num_instances=n_inst, max_nchunks=n_chunks,
     )
     return params, opt_state, metrics
 

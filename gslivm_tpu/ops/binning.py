@@ -63,7 +63,7 @@ CHUNK = 128  # render-kernel chunk size; per-tile runs are padded to this.
 
 
 class BinnedInstances(NamedTuple):
-    gauss_rank: jnp.ndarray    # [max_instances_padded] int32 DEPTH-RANK ids,
+    gauss_rank: jnp.ndarray | None  # [max_instances_padded] int32 DEPTH-RANK ids,
                                #   -1 = padding; original id = dorder[rank].
                                #   None when aligned_layout=False (the
                                #   placement scatter building it is the
@@ -108,6 +108,10 @@ def bin_instances(
     overflow (rear tiles lose their most-occluded instances first), never
     into OOB access.
 
+    gauss_rank in the result is ONLY produced with aligned_layout=True (the
+    profiling/stat layout); the production sorted-input path returns None
+    there and consumers must use gid_sorted/sorted_start instead.
+
     band_start/band_rows restrict binning to tile ROWS [band_start,
     band_start + band_rows) — the unit of pixel-axis sharding: each device
     bins and renders only its band (tile ids come out band-relative).
@@ -124,6 +128,12 @@ def bin_instances(
     band_rows, returned tile ids) are then in SUPERTILE units.
     """
     grid_x, grid_y = tile_grid(width, height)
+    if max(grid_x, grid_y) >= 4096:
+        # the rect/counts bookkeeping rides int values as exact f32, which
+        # holds only while tile coords stay below 2^12 (~65k px per axis);
+        # fail loudly instead of silently mis-binning oversized grids
+        raise ValueError(
+            f"tile grid {grid_x}x{grid_y} exceeds the exact-f32 bound 4096")
     blocked = block_x != 1 or block_y != 1
     sgrid_x = -(-grid_x // block_x)
     sgrid_y = -(-grid_y // block_y)

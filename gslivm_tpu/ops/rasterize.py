@@ -39,11 +39,18 @@ class RasterizeSettings(NamedTuple):
     scale_modifier: float = 1.0
     depth_grad: bool = False
     backend: str = "auto"
+    # Pallas budgets. The defaults are deliberately loose starting points:
+    # pipeline.IncrementalMapper FEEDBACK-FITS max_instances and
+    # max_chunks_per_tile to the measured expansion after a window of steps
+    # (and grows them on overflow), so production converges to the
+    # scene-fitted configuration the benchmarks measure (docs/kernels.md).
     max_instances: int = 2**20       # pallas binning budget
     max_chunks_per_tile: int = 64    # pallas per-tile cap
-    capacity_slack: float = 0.6      # pallas CHUNK-padding headroom
-    block_x: int = 1                 # pallas supertile factor (16px tiles)
-    block_y: int = 1
+    capacity_slack: float = 0.35     # pallas CHUNK-padding headroom
+    # supertile factor: 2x2 is the measured sweet spot at production scale
+    # (block sweep, docs/kernels.md) and within ~1% of 1x1 on tiny scenes
+    block_x: int = 2
+    block_y: int = 2
 
 
 def _resolve_backend(backend: str) -> str:
@@ -109,6 +116,7 @@ def _rddg_bwd(settings, vjp, g):
         radii=jnp.zeros_like(g.radii),
         overflow=jnp.zeros_like(g.overflow),
         num_instances=jnp.zeros_like(g.num_instances),
+        max_nchunks=jnp.zeros_like(g.max_nchunks),
     )
     return vjp(g_dropped)
 

@@ -89,12 +89,15 @@ class PallasConfig(NamedTuple):
     pw: int = TILE
     ph: int = TILE
     rect_test: bool = False
-    sorted_input: bool = False  # instances arrive in UNPADDED depth-sorted
-                                # layout: per-tile runs start at arbitrary
-                                # offsets; the kernel DMAs a 2*CHUNK aligned
-                                # window and lane-rotates (docs/kernels.md)
-    pad_cols: int = 0           # sorted_input: width of the backward's
-                                # CHUNK-aligned per-instance grad output
+    # Instances always arrive in the UNPADDED depth-sorted layout the
+    # binning sort emits: per-tile runs start at arbitrary offsets; the
+    # kernel DMAs a 2*CHUNK aligned window and lane-rotates by the run
+    # phase (docs/kernels.md "sorted-layout kernel input"). The earlier
+    # CHUNK-aligned input mode (placement-scatter layout) was deleted in r3
+    # once it went dead in production — aligned binning survives only for
+    # the profiling/stat tools (bin_instances aligned_layout=True).
+    pad_cols: int = 0           # width of the backward's CHUNK-aligned
+                                # per-instance grad output
 
     @property
     def npix(self) -> int:
@@ -234,41 +237,31 @@ def _chunk_terms(featT, px, py, T_in, done_in, rect_test: bool = False):
 
 
 def _inst_get_dma(cfg, inst_ref, buf_ref, sem_ref, off):
-    """Chunk-fetch closure. Aligned mode: per-tile runs are CHUNK-aligned
-    by binning, fetch [FEAT, CHUNK] directly. Sorted mode: runs start at
-    arbitrary offsets, fetch the covering ALIGNED [FEAT, 2*CHUNK] window
+    """Chunk-fetch closure: per-tile runs start at arbitrary offsets in the
+    sorted layout, so fetch the covering ALIGNED [FEAT, 2*CHUNK] window
     (all chunks of a tile share the phase off % CHUNK)."""
-    if cfg.sorted_input:
-        base0 = (off // CHUNK) * CHUNK
+    base0 = (off // CHUNK) * CHUNK
 
-        def get_dma(slot, i):
-            start = pl.multiple_of(base0 + i * CHUNK, CHUNK)
-            return pltpu.make_async_copy(
-                inst_ref.at[:, pl.ds(start, 2 * CHUNK)],
-                buf_ref.at[slot],
-                sem_ref.at[slot],
-            )
-    else:
-        def get_dma(slot, i):
-            start = pl.multiple_of(off + i * CHUNK, CHUNK)
-            return pltpu.make_async_copy(
-                inst_ref.at[:, pl.ds(start, CHUNK)],
-                buf_ref.at[slot],
-                sem_ref.at[slot],
-            )
+    def get_dma(slot, i):
+        start = pl.multiple_of(base0 + i * CHUNK, CHUNK)
+        return pltpu.make_async_copy(
+            inst_ref.at[:, pl.ds(start, 2 * CHUNK)],
+            buf_ref.at[slot],
+            sem_ref.at[slot],
+        )
     return get_dma
 
 
 def _chunk_feats(cfg, buf_ref, slot, phi, rem):
-    """Materialize one chunk's (CHUNK, FEAT) transposed feature block.
-
-    Sorted mode: lane-rotate the 2*CHUNK window by the run phase (dynamic
-    pltpu.roll), take the leading CHUNK, and ZERO rows past the run length
-    (the window overruns into the next tile's instances — zeroing every
-    feature makes opacity 0, so they composite as nothing)."""
-    if not cfg.sorted_input:
-        return buf_ref[slot].T
-    win = pltpu.roll(buf_ref[slot], 2 * CHUNK - phi, axis=1)
+    """Materialize one chunk's (CHUNK, FEAT) transposed feature block:
+    lane-rotate the 2*CHUNK window by the run phase (dynamic pltpu.roll),
+    take the leading CHUNK, and ZERO rows past the run length (the window
+    overruns into the next tile's instances — zeroing every feature makes
+    opacity 0, so they composite as nothing). The shift is reduced mod
+    2*CHUNK so the phase-0 case is an explicit identity rather than relying
+    on roll's wrap-at-size semantics."""
+    win = pltpu.roll(buf_ref[slot], jax.lax.rem(2 * CHUNK - phi, 2 * CHUNK),
+                     axis=1)
     featT = win[:, :CHUNK].T
     row = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, FEAT), 0)
     return jnp.where(row < rem, featT, 0.0)
@@ -389,8 +382,8 @@ def _bwd_kernel(cfg: PallasConfig, off_ref, neff_ref, cnt_ref, poff_ref,
     cnt = cnt_ref[t]
     phi = off - (off // CHUNK) * CHUNK
     # grad OUTPUT is always CHUNK-aligned: poff carries the padded offsets
-    # in sorted mode (writes cannot ride the unaligned instance layout)
-    woff = poff_ref[t] if cfg.sorted_input else off
+    # (writes cannot ride the unaligned instance layout)
+    woff = poff_ref[t]
     px, py = _pixel_coords(t, cfg)
 
     get_dma = _inst_get_dma(cfg, inst_ref, buf_ref, rsem_ref, off)
@@ -488,22 +481,16 @@ def _bwd_kernel(cfg: PallasConfig, off_ref, neff_ref, cnt_ref, poff_ref,
             psum(gC2 * w),                            # d color b
             psum(gD * w),                             # d depth
         ]
-        if cfg.sorted_input:
-            # the rank-id feature row rides along with the grads: the VJP's
-            # gradient scatter indexes by it, so no padded id array is ever
-            # materialized (masked overrun rows were zeroed -> id 0, grad 0)
-            gout = jnp.concatenate(
-                grads
-                + [jnp.zeros((CHUNK, _FID - len(grads)), jnp.float32),
-                   featT[:, _FID][:, None],
-                   jnp.zeros((CHUNK, FEAT - _FID - 1), jnp.float32)],
-                axis=1,
-            )
-        else:
-            gout = jnp.concatenate(
-                grads + [jnp.zeros((CHUNK, FEAT - len(grads)), jnp.float32)],
-                axis=1,
-            )
+        # the rank-id feature row rides along with the grads: the VJP's
+        # gradient scatter indexes by it, so no padded id array is ever
+        # materialized (masked overrun rows were zeroed -> id 0, grad 0)
+        gout = jnp.concatenate(
+            grads
+            + [jnp.zeros((CHUNK, _FID - len(grads)), jnp.float32),
+               featT[:, _FID][:, None],
+               jnp.zeros((CHUNK, FEAT - _FID - 1), jnp.float32)],
+            axis=1,
+        )
 
         # write this chunk's grads (double-buffered store DMA)
         @pl.when(j >= 2)
@@ -535,7 +522,7 @@ def _bwd_kernel(cfg: PallasConfig, off_ref, neff_ref, cnt_ref, poff_ref,
 def _fwd_call(cfg: PallasConfig, inst, tile_offset, tile_nchunks, cnt,
               save_ckpt: bool):
     num_tiles = cfg.grid_x * cfg.grid_y
-    bufw = 2 * CHUNK if cfg.sorted_input else CHUNK
+    bufw = 2 * CHUNK
     scratch = [
         pltpu.VMEM((2, FEAT, bufw), jnp.float32),
         pltpu.SemaphoreType.DMA((2,)),
@@ -572,8 +559,8 @@ def _fwd_call(cfg: PallasConfig, inst, tile_offset, tile_nchunks, cnt,
 def _bwd_call(cfg: PallasConfig, inst, tile_offset, neff, cnt, poff, g_tiles,
               fwd_tiles, ckpt):
     num_tiles = cfg.grid_x * cfg.grid_y
-    pad = cfg.pad_cols if cfg.sorted_input else inst.shape[1]
-    bufw = 2 * CHUNK if cfg.sorted_input else CHUNK
+    pad = cfg.pad_cols
+    bufw = 2 * CHUNK
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(num_tiles,),
@@ -605,40 +592,6 @@ def _bwd_call(cfg: PallasConfig, inst, tile_offset, neff, cnt, poff, g_tiles,
     )(tile_offset, neff, cnt, poff, inst, g_tiles, fwd_tiles, ckpt)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _render_tiles(cfg: PallasConfig, inst, tile_offset, tile_nchunks):
-    return _fwd_call(cfg, inst, tile_offset, tile_nchunks,
-                     tile_nchunks * CHUNK, save_ckpt=False)
-
-
-def _render_tiles_fwd(cfg, inst, tile_offset, tile_nchunks):
-    out, ckpt = _fwd_call(cfg, inst, tile_offset, tile_nchunks,
-                          tile_nchunks * CHUNK, save_ckpt=True)
-    return out, (inst, tile_offset, tile_nchunks, out, ckpt)
-
-
-def _render_tiles_bwd(cfg, res, g_tiles):
-    inst, tile_offset, tile_nchunks, out, ckpt = res
-    neff = out[:, 7, 0].astype(jnp.int32)
-    d_inst = _bwd_call(cfg, inst, tile_offset, neff, tile_nchunks * CHUNK,
-                       tile_offset, g_tiles, out, ckpt)
-    # The kernel writes grads only for chunks < neff (everything later is
-    # fully occluded => zero gradient) — zero the never-written slots. The
-    # per-tile bound off[t] + CHUNK*neff[t] is non-decreasing in t (it is
-    # <= off[t+1]), so it expands with a start-scatter + running max.
-    pad = inst.shape[1]
-    bound_marks = jnp.zeros((pad,), jnp.int32).at[tile_offset].max(
-        tile_offset + CHUNK * neff, mode="drop")
-    bound = jax.lax.cummax(bound_marks)
-    slot = jnp.arange(pad, dtype=jnp.int32)
-    d_inst = jnp.where((slot < bound)[None, :], d_inst, 0.0)
-    zero_i = np.zeros(tile_offset.shape, jax.dtypes.float0)
-    return d_inst, zero_i, np.zeros((tile_offset.shape[0],), jax.dtypes.float0)
-
-
-_render_tiles.defvjp(_render_tiles_fwd, _render_tiles_bwd)
-
-
 # ---------------------------------------------------------------------------
 # Public entry
 # ---------------------------------------------------------------------------
@@ -665,48 +618,6 @@ def _permute_cols_bwd(res, g):
 _permute_cols.defvjp(_permute_cols_fwd, _permute_cols_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _gather_cols(ndiff: int, table, idx):
-    """table[:, idx] whose VJP scatter-adds ONLY the first `ndiff` rows.
-
-    The rect-bound rows (supertile mode) are stop-gradient ints with
-    structurally-zero cotangents, but XLA's default gather-VJP would still
-    scatter them — at 1M+ instance slots the scatter-add is the single most
-    expensive backward op, so trimming 4/14 of its rows is real money."""
-    return table[:, idx]
-
-
-def _gather_cols_fwd(ndiff, table, idx):
-    return table[:, idx], (idx, table.shape)
-
-
-def _gather_cols_bwd(ndiff, res, g):
-    idx, shape = res
-    # pure [:, idx] scatter-add (same dimension numbers as the default
-    # gather-VJP); mixing a row slice into the scatter ([:ndiff, idx]) makes
-    # XLA emit a transposed point-scatter that is ~50x slower on TPU
-    d10 = jnp.zeros((ndiff, shape[1]), g.dtype).at[:, idx].add(g[:ndiff])
-    d = jnp.concatenate(
-        [d10, jnp.zeros((shape[0] - ndiff, shape[1]), g.dtype)], axis=0)
-    return d, np.zeros(idx.shape, jax.dtypes.float0)
-
-
-_gather_cols.defvjp(_gather_cols_fwd, _gather_cols_bwd)
-
-
-
-
-def _pack_features(pre: PreprocessedGaussians, gauss_rank, dorder,
-                   y_shift=0.0, rect_rows: bool = False):
-    """Gather per-gaussian screen features into the feature-major
-    [FEAT, PAD] instance array (differentiable; padding slots get opacity
-    0); the aligned-layout path (_build_rank_table for the table)."""
-    table = _build_rank_table(pre, dorder, y_shift=y_shift,
-                              rect_rows=rect_rows)
-    safe = jnp.maximum(gauss_rank, 0)
-    inst = _gather_cols(10, table, safe)  # [FEAT, PAD]; VJP: 10 rows only
-    dead = (gauss_rank < 0)[None, :]
-    return jnp.where(dead & (jnp.arange(FEAT)[:, None] == _FO), 0.0, inst)
 
 
 def _build_rank_table(pre: PreprocessedGaussians, dorder, y_shift=0.0,
@@ -880,7 +791,6 @@ def render_tiles_raw(
         pw=pw,
         ph=ph,
         rect_test=blocked,
-        sorted_input=True,
         pad_cols=pad_cols,
     )
 
@@ -988,6 +898,8 @@ def rasterize_pallas(
             radii=jax.lax.stop_gradient(pre.radius),
             overflow=jax.lax.stop_gradient(binned.overflow),
             num_instances=jax.lax.stop_gradient(binned.num_instances),
+            max_nchunks=jax.lax.stop_gradient(
+                jnp.max(binned.tile_nchunks)).astype(jnp.int32),
         )
 
     if dynamic_band:

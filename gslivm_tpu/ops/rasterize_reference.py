@@ -306,6 +306,9 @@ class RenderOutput(NamedTuple):
     # it and escalate max_instances. Always 0 for the oracle backend.
     overflow: jnp.ndarray = np.int32(0)       # [] int32
     num_instances: jnp.ndarray = np.int32(0)  # [] int32
+    # busiest tile's chunk count (pallas backend; 0 for the oracle) — the
+    # feedback signal for fitting max_chunks_per_tile (pipeline auto-fit)
+    max_nchunks: jnp.ndarray = np.int32(0)    # [] int32
 
 
 def rasterize_naive(

@@ -22,6 +22,9 @@ simi + delta-depth losses, status metrics every call.
 from __future__ import annotations
 
 import dataclasses
+import queue as _queue
+import threading
+import time as _time
 from typing import NamedTuple
 
 import jax
@@ -78,6 +81,10 @@ class IncrementalMapper:
         self.gt_images: list[np.ndarray] = []
         self._gt_device: list[jax.Array] = []  # device-staged GT images
         self._last_key_pose: tuple[np.ndarray, np.ndarray] | None = None
+        # round-robin visited sets (selected_indices_curr/_hist,
+        # lioOptimization.cpp:1571-1590)
+        self._used_curr: set[int] = set()
+        self._used_hist: set[int] = set()
 
         # binning-overflow watchdog (the TPU analog of the CUDA rasterizer's
         # dynamic buffer resize callback, rasterize_points.cu:36-44): on a
@@ -86,6 +93,20 @@ class IncrementalMapper:
         self.last_overflow = 0
         self._overflow_streak = 0
         self.overflow_escalations = 0
+        # feedback budget auto-fit (the analog of CUDA's exact num_rendered
+        # allocation, rasterizer_impl.cu:277): every instance-space op
+        # scales with max_instances, so once the measured expansion is known
+        # the loose default budget is SHRUNK to the scene (+ margin) —
+        # bounded to one recompile per budget_fit_window steps, with the
+        # overflow escalation above as the safety net if the scene densifies
+        self.budget_fit_window = 50
+        self.budget_refits = 0
+        self._fit_inst: list[int] = []
+        self._fit_chunks: list[int] = []
+        self._overflowed_at = 0  # largest budget that ever overflowed:
+        # never shrink back to it (prevents shrink->overflow->double cycles)
+        self._prev_metrics = None  # one-step-deferred feedback (see
+        # train_iteration: avoids a device sync per dispatched step)
 
         # loss anchors: voxel hash -> [k, 3] points (latest wins, like the
         # reference's GsForLosses merge, lioOptimization.cpp:459-476)
@@ -212,17 +233,34 @@ class IncrementalMapper:
     # ------------------------------------------------------------------
 
     def _sample_cameras(self):
-        """get_random_indices (lioOptimization.cpp:1860-1913): newest
-        curr_cam_per_iter from the sliding window + random history pairs."""
+        """get_random_indices + exist-list round-robin
+        (lioOptimization.cpp:1571-1590, 1860-1913): window cameras not yet
+        visited this cycle are taken oldest-first; when every window camera
+        has been visited the visited set resets ("optimize whole current
+        image sequence again") — so between keyframes EVERY window camera is
+        optimized before any repeats. History cameras round-robin the same
+        way, shuffled, paired with their +1 neighbor for delta-depth."""
         n = len(self.cameras)
         win = self.cfg.gp.image_sliding_window
         split = max(0, n - win)
-        curr = list(range(split, n))[: self.cfg.gp.curr_cam_per_iter]
-        hist_pairs = []
-        if split > 1:
-            cands = self.rng.permutation(split - 1)
+        curr: list[int] = []
+        if win > 0 and self.cfg.gp.curr_cam_per_iter > 0 and n > split:
+            cands = [i for i in range(split, n) if i not in self._used_curr]
+            if not cands:  # window exhausted -> new cycle
+                self._used_curr.clear()
+                cands = list(range(split, n))
+            curr = cands[: self.cfg.gp.curr_cam_per_iter]
+            self._used_curr.update(curr)
+        hist_pairs: list[tuple[int, int]] = []
+        if split > 1 and self.cfg.gp.history_cam_per_iter > 0:
+            cands = [i for i in range(split - 1) if i not in self._used_hist]
+            if not cands:
+                self._used_hist.clear()
+                cands = list(range(split - 1))
+            cands = [int(i) for i in self.rng.permutation(cands)]
             for idx in cands[: self.cfg.gp.history_cam_per_iter]:
-                hist_pairs.append((int(idx), int(idx) + 1))
+                hist_pairs.append((idx, idx + 1))
+            self._used_hist.update(i for i, _ in hist_pairs)
         return curr, hist_pairs
 
     def _simi_inputs(self, max_gauss: int = 2048) -> training.SimiInputs:
@@ -271,8 +309,32 @@ class IncrementalMapper:
         self.opt_state = opt_state
         self.iter += 1
 
+        # Budget feedback is DEFERRED one step: reading this step's
+        # overflow would force a device sync right after dispatch,
+        # serializing host and device (SURVEY §7 hard part 4). Instead the
+        # PREVIOUS step's metrics — whose device work completed while this
+        # step was being built — are ingested now, so the device pipeline
+        # stays full and escalation lags by exactly one iteration.
+        prev, self._prev_metrics = self._prev_metrics, metrics
+        if prev is not None:
+            self._ingest_budget_feedback(prev)
+
+        # pruning lifecycle: long-run splat count plateaus instead of
+        # growing monotonically (completes the reference's never-called
+        # prune_optimizer, gaussian.cu:430; BASELINE "densification +
+        # pruning")
+        pi = self.cfg.gs.prune_interval
+        if pi > 0 and self.iter % pi == 0:
+            self.prune_map()
+        return metrics
+
+    def _ingest_budget_feedback(self, metrics: "training.TrainMetrics"):
         self.last_overflow = int(metrics.overflow)
         if self.last_overflow > 0:
+            self._overflowed_at = max(self._overflowed_at,
+                                      self.settings.max_instances)
+            self._fit_inst.clear()
+            self._fit_chunks.clear()
             self._overflow_streak += 1
             if self._overflow_streak >= 2:
                 # overflow sums both budget cuts (binning.py:308), so grow
@@ -284,7 +346,56 @@ class IncrementalMapper:
                 self._overflow_streak = 0
         else:
             self._overflow_streak = 0
-        return metrics
+            self._maybe_shrink_budgets(metrics)
+
+    _INST_BUCKET = 512 * 128  # 65,536-slot budget granularity: quantizing
+    # the fitted budget bounds recompiles to one per bucket change
+
+    def _maybe_shrink_budgets(self, metrics: "training.TrainMetrics"):
+        """Shrink max_instances / max_chunks_per_tile toward the measured
+        expansion high-water mark (+15% / +2 chunks margin) once a full
+        observation window agrees — the feedback-fit of VERDICT r2 weak #5.
+        Growth on overflow is handled by the escalation path above."""
+        from .ops.rasterize import _resolve_backend
+
+        if _resolve_backend(self.settings.backend) != "pallas":
+            return
+        self._fit_inst.append(int(metrics.num_instances))
+        self._fit_chunks.append(int(metrics.max_nchunks))
+        if len(self._fit_inst) < self.budget_fit_window:
+            return
+        b = self._INST_BUCKET
+        need_i = int(max(self._fit_inst) * 1.15)
+        fitted_i = max(b, -(-need_i // b) * b)
+        need_c = max(self._fit_chunks) + 2
+        fitted_c = max(8, -(-need_c // 8) * 8)
+        new = self.settings
+        if (fitted_i * 3 // 2 <= new.max_instances
+                and fitted_i > self._overflowed_at):
+            new = new._replace(max_instances=fitted_i)
+        if fitted_c * 2 <= new.max_chunks_per_tile:
+            new = new._replace(max_chunks_per_tile=fitted_c)
+        self._fit_inst.clear()
+        self._fit_chunks.clear()
+        if new != self.settings:
+            self.settings = new
+            self.budget_refits += 1
+
+    def prune_map(self, min_opacity: float | None = None) -> int:
+        """Drop low-opacity gaussians; compact params + Adam state with the
+        same permutation and remap the hash->index registry. Returns the
+        number of gaussians dropped."""
+        mo = self.cfg.gs.prune_min_opacity if min_opacity is None else min_opacity
+        keep = (np.asarray(self.params.get_opacity()[:, 0]) >= mo) \
+            & np.asarray(self.params.active_mask())
+        dropped = int(self.params.n_active) - int(keep.sum())
+        if dropped == 0:
+            return 0
+        order, count = gm.prune_permutation(self.params, jnp.asarray(keep))
+        self.params = gm.compact(self.params, order, count)
+        self.opt_state = training.compact_opt_state(self.opt_state, order, count)
+        self.registry.remap_pruned(keep)
+        return dropped
 
     # ------------------------------------------------------------------
     # Outputs (saveRender / Save_ply equivalents)
@@ -313,3 +424,102 @@ class IncrementalMapper:
             "mean_ssim": float(np.mean(ssims)) if ssims else 0.0,
             "keyframes": len(psnrs),
         }
+
+
+class ConcurrentMapper:
+    """Producer/consumer overlap of the host front-end and device training.
+
+    The TPU-native analog of the reference's three-thread topology
+    (lioOptimization.cpp:2496-2501: odometry `run`, training `optimize_vis`,
+    color staging): the front-end (caller's thread) pushes frames into a
+    BOUNDED queue and returns to sensor processing immediately; a worker
+    thread consumes frames (add_frame) and runs `iters_per_frame` training
+    iterations per frame continuously. All mapper access is serialized by
+    one lock (the analog of the reference's queue mutexes) — the overlap
+    win is the host front-end (odometry, decode, color rendering) running
+    WHILE the device executes dispatched train steps, instead of the serial
+    frontend -> mapping -> training round trip.
+
+    Usage:
+        cm = ConcurrentMapper(mapper, iters_per_frame=10)
+        for frame in frontend:      # front-end thread
+            cm.submit_frame(frame)
+        mapper = cm.finish()        # drain + join; re-raises worker errors
+    """
+
+    def __init__(self, mapper: IncrementalMapper, iters_per_frame: int = 10,
+                 queue_size: int = 4, idle_sleep_s: float = 0.002):
+        self.mapper = mapper
+        self.iters_per_frame = iters_per_frame
+        self.idle_sleep_s = idle_sleep_s
+        self._queue: _queue.Queue = _queue.Queue(maxsize=queue_size)
+        self.lock = threading.Lock()
+        self._stop = threading.Event()
+        self._outstanding = 0      # frames submitted, not yet mapped
+        self._credits = 0          # train iterations owed
+        self._error: BaseException | None = None
+        self.trained = 0
+        self.frames_mapped = 0
+        self.busy_s = 0.0  # worker time inside mapper calls: the "serial
+        # sum" baseline for the overlap win is frontend_time + busy_s
+        self.last_metrics: training.TrainMetrics | None = None
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="optimize_vis")
+        self._thread.start()
+
+    def submit_frame(self, frame: Frame):
+        """Enqueue a frame; blocks only when the bounded queue is full
+        (back-pressure, like the reference's mutex-guarded handoff)."""
+        if self._error is not None:
+            raise RuntimeError("ConcurrentMapper worker died") from self._error
+        self._outstanding += 1
+        self._queue.put(frame)
+
+    def _run(self):
+        try:
+            while not self._stop.is_set():
+                did_work = False
+                try:
+                    frame = self._queue.get_nowait()
+                except _queue.Empty:
+                    frame = None
+                if frame is not None:
+                    t0 = _time.perf_counter()
+                    with self.lock:
+                        self.mapper.add_frame(frame)
+                    self.busy_s += _time.perf_counter() - t0
+                    self.frames_mapped += 1
+                    self._credits += self.iters_per_frame
+                    self._outstanding -= 1
+                    did_work = True
+                if (self._credits > 0 and self.mapper.started
+                        and self.mapper.cameras):
+                    t0 = _time.perf_counter()
+                    with self.lock:
+                        self.last_metrics = self.mapper.train_iteration()
+                    self.busy_s += _time.perf_counter() - t0
+                    self._credits -= 1
+                    self.trained += 1
+                    did_work = True
+                elif self._credits > 0 and not self.mapper.started:
+                    self._credits = 0  # nothing to train on yet
+                if not did_work:
+                    _time.sleep(self.idle_sleep_s)  # 10 ms idle sleep analog
+        except BaseException as e:  # surfaced to the producer thread
+            self._error = e
+            self._outstanding = 0
+
+    def finish(self) -> IncrementalMapper:
+        """Drain the queue and remaining training credits, stop the worker,
+        and return the (quiescent) mapper. Re-raises worker exceptions."""
+        while (self._outstanding > 0 or self._credits > 0) \
+                and self._error is None:
+            _time.sleep(0.005)
+        self._stop.set()
+        self._thread.join()
+        if self._error is not None:
+            raise RuntimeError("ConcurrentMapper worker died") from self._error
+        # quiesce the device: train steps dispatch asynchronously, so wall
+        # clock accounting must include the in-flight tail
+        jax.block_until_ready(self.mapper.params.xyz)
+        return self.mapper

@@ -71,13 +71,45 @@ def _to_chw(img) -> jnp.ndarray:
     return jnp.asarray(arr, jnp.float32)
 
 
-def image_pair_metrics(render, gt) -> dict:
+_LPIPS_MODEL = None  # lazily constructed torch-lpips net (or False if absent)
+
+
+def lpips_pair(render_chw, gt_chw):
+    """LPIPS via the optional torch `lpips` package (the reference's
+    offline metric triple is PSNR/SSIM/LPIPS, python/evaluate_image.py:7,30
+    with lpips.LPIPS(net='alex')). The package needs pretrained weights, so
+    it is an OPTIONAL dependency: returns None when `lpips` (or torch) is
+    not importable — callers report null, never fake a number."""
+    global _LPIPS_MODEL
+    if _LPIPS_MODEL is None:
+        try:
+            import lpips as _lpips  # noqa: PLC0415
+            import torch  # noqa: F401,PLC0415
+
+            _LPIPS_MODEL = _lpips.LPIPS(net="alex")
+        except Exception:
+            _LPIPS_MODEL = False
+    if _LPIPS_MODEL is False:
+        return None
+    import torch
+
+    with torch.no_grad():
+        # evaluate_image.py normalizes to [-1, 1]
+        a = torch.from_numpy(np.asarray(render_chw, np.float32))[None] * 2 - 1
+        b = torch.from_numpy(np.asarray(gt_chw, np.float32))[None] * 2 - 1
+        return float(_LPIPS_MODEL(a, b).item())
+
+
+def image_pair_metrics(render, gt, with_lpips: bool = False) -> dict:
     r, g = _to_chw(render), _to_chw(gt)
-    return {
+    out = {
         "psnr": float(loss_ops.psnr(r, g)),
         "ssim": float(loss_ops.ssim(r, g)),
         "l1": float(loss_ops.l1_loss(r, g)),
     }
+    if with_lpips:
+        out["lpips"] = lpips_pair(np.asarray(r), np.asarray(g))
+    return out
 
 
 def split_side_by_side(img: np.ndarray):
@@ -86,24 +118,30 @@ def split_side_by_side(img: np.ndarray):
     return img[:, :w], img[:, w:]
 
 
+def _summarize(metrics_list: list[dict]) -> dict:
+    n = len(metrics_list)
+    lp = [m.get("lpips") for m in metrics_list]
+    have_lpips = n > 0 and all(v is not None for v in lp)
+    return {
+        "count": n,
+        "mean_psnr": float(np.mean([m["psnr"] for m in metrics_list])) if n else 0.0,
+        "mean_ssim": float(np.mean([m["ssim"] for m in metrics_list])) if n else 0.0,
+        "mean_l1": float(np.mean([m["l1"] for m in metrics_list])) if n else 0.0,
+        # PSNR/SSIM/LPIPS triple parity (evaluate_image.py:30); null when
+        # the optional lpips package is unavailable
+        "mean_lpips": float(np.mean(lp)) if have_lpips else None,
+    }
+
+
 def evaluate_dir(path: str) -> dict:
     """evaluate_image.py over a directory of side-by-side PNGs."""
-    psnrs, ssims, l1s = [], [], []
+    ms = []
     for name in sorted(os.listdir(path)):
         if not name.endswith(".png"):
             continue
         render, gt = split_side_by_side(load_png(os.path.join(path, name)))
-        m = image_pair_metrics(render, gt)
-        psnrs.append(m["psnr"])
-        ssims.append(m["ssim"])
-        l1s.append(m["l1"])
-    n = len(psnrs)
-    return {
-        "count": n,
-        "mean_psnr": float(np.mean(psnrs)) if n else 0.0,
-        "mean_ssim": float(np.mean(ssims)) if n else 0.0,
-        "mean_l1": float(np.mean(l1s)) if n else 0.0,
-    }
+        ms.append(image_pair_metrics(render, gt, with_lpips=True))
+    return _summarize(ms)
 
 
 def evaluate_dirs(render_dir: str, gt_dir: str) -> dict:
@@ -111,20 +149,11 @@ def evaluate_dirs(render_dir: str, gt_dir: str) -> dict:
     matched by sorted filename."""
     rs = sorted(n for n in os.listdir(render_dir) if n.endswith(".png"))
     gs = sorted(n for n in os.listdir(gt_dir) if n.endswith(".png"))
-    psnrs, ssims, l1s = [], [], []
-    for rn, gn in zip(rs, gs):
-        m = image_pair_metrics(load_png(os.path.join(render_dir, rn)),
-                               load_png(os.path.join(gt_dir, gn)))
-        psnrs.append(m["psnr"])
-        ssims.append(m["ssim"])
-        l1s.append(m["l1"])
-    n = len(psnrs)
-    return {
-        "count": n,
-        "mean_psnr": float(np.mean(psnrs)) if n else 0.0,
-        "mean_ssim": float(np.mean(ssims)) if n else 0.0,
-        "mean_l1": float(np.mean(l1s)) if n else 0.0,
-    }
+    ms = [image_pair_metrics(load_png(os.path.join(render_dir, rn)),
+                             load_png(os.path.join(gt_dir, gn)),
+                             with_lpips=True)
+          for rn, gn in zip(rs, gs)]
+    return _summarize(ms)
 
 
 def parse_log_time(path: str) -> dict:

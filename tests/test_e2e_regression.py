@@ -9,8 +9,9 @@ configs[2-3]): real bags are unavailable in CI, so the demanding regression
 runs on exactly-known geometry instead. Thresholds are PINNED — a change
 that degrades odometry accuracy or mapping quality below them fails.
 
-Runtime: a few minutes on 2 CPUs (the longest test in the suite, by
-design — it is the long-horizon check).
+Runtime: ~30 minutes on a 2-CPU box (the longest test in the suite, by
+design — it is the long-horizon check). Marked `slow`: run with
+`pytest --slow` (or RUN_SLOW=1); the default suite skips it.
 """
 
 import os
@@ -55,6 +56,7 @@ def _gt_accel_world(t: float) -> np.ndarray:
     return np.array([0.3 if t < 0.5 else 0.0, 0.0, 0.0])
 
 
+@pytest.mark.slow
 def test_long_horizon_synthetic_regression(tmp_path, rng):
     out_dir = str(tmp_path)
     planes = synthetic.default_scene()

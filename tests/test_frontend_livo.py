@@ -173,3 +173,153 @@ def test_livo_frontend_end_to_end(rng):
     f = frames[-1]
     assert f.points_world.shape[1] == 3
     assert f.image.shape == (96, 128, 3)
+
+
+def _run_small_frontend(cfg, rng, n_sweeps=3, spin=False):
+    """Tiny front-end run over the synthetic room; returns the frontend."""
+    planes = synthetic.default_scene()
+    fe = LivoFrontend(config=cfg, fx=100.0, fy=100.0, cx=63.5, cy=47.5,
+                      width=128, height=96, sweep_interval=0.1)
+    g = np.array([0, 0, 9.81])
+    cams = synthetic.make_trajectory(6, 128, 96)
+    t = 0.0
+    for i in range(80):
+        fe.push_imu(t, np.zeros(3), g + rng.normal(0, 1e-3, 3))
+        t += 0.005
+    cam = cams[0]
+    R_wc = np.asarray(cam.R_cw).T
+    center = np.asarray(cam.cam_center)
+    gyr = np.array([0.0, 0.0, 0.3]) if spin else np.zeros(3)
+    for k in range(n_sweeps):
+        pts_w = synthetic.sample_surface_points(cam, planes, 2000, rng)
+        pts_sensor = (pts_w - center) @ R_wc
+        fe.push_lidar(_sweep(t, pts_sensor,
+                             np.linspace(0, 0.09, len(pts_sensor))))
+        img = synthetic.render_image(cam, planes)
+        for j in range(20):
+            fe.push_imu(t + j * 0.005, gyr, g + rng.normal(0, 1e-3, 3))
+        fe.push_image(t + 0.095, img)
+        t += 0.1
+    return fe
+
+
+def test_motion_compensation_config_dispatch(rng, monkeypatch):
+    """OdometryOptions.motion_compensation drives which deskew path runs
+    (lioOptimization.cpp:1006-1009): CONSTANT_VELOCITY -> constant slerp,
+    IMU -> piecewise IMU-state deskew."""
+    import dataclasses
+
+    from gslivm_tpu.frontend import livo as livo_mod
+
+    calls = {"imu": 0, "const": 0}
+    real_imu = livo_mod.motion_compensate_imu
+    real_const = livo_mod.motion_compensate_constant
+
+    def spy_imu(*a, **k):
+        calls["imu"] += 1
+        return real_imu(*a, **k)
+
+    def spy_const(*a, **k):
+        calls["const"] += 1
+        return real_const(*a, **k)
+
+    monkeypatch.setattr(livo_mod, "motion_compensate_imu", spy_imu)
+    monkeypatch.setattr(livo_mod, "motion_compensate_constant", spy_const)
+
+    base = Config(odometry=OdometryOptions(init_num_frames=2, voxel_size=0.05,
+                                           sample_voxel_size=0.6,
+                                           init_voxel_size=0.05,
+                                           init_sample_voxel_size=0.6),
+                  icp=IcpOptions(min_number_neighbors=8, max_num_residuals=300,
+                                 size_voxel_map=0.5, num_iters_icp=6))
+
+    fe = _run_small_frontend(base, rng)
+    assert calls == {"imu": 0, "const": calls["const"]} and calls["const"] > 0
+    # the IMU state trail is recorded regardless (one entry per IMU sample)
+    assert len(fe.odometry.imu_states) >= 2
+
+    calls["imu"] = calls["const"] = 0
+    cfg_imu = dataclasses.replace(
+        base, odometry=dataclasses.replace(base.odometry,
+                                           motion_compensation="IMU"))
+    _run_small_frontend(cfg_imu, rng)
+    assert calls["imu"] > 0 and calls["const"] == 0, calls
+
+
+def test_vio_photometric_runs_in_live_path(rng, monkeypatch):
+    """vioPhotometric runs every rendering frame after vioEsikf
+    (imageProcessing.cpp:189-194); its covariance bookkeeping is part of
+    reference behavior even with the estimation flags off."""
+    from gslivm_tpu.frontend import livo as livo_mod
+
+    calls = {"photo": 0, "esikf": 0}
+    real_photo = livo_mod.vio_photometric
+    real_esikf = livo_mod.vio_esikf
+
+    def spy_photo(*a, **k):
+        calls["photo"] += 1
+        return real_photo(*a, **k)
+
+    def spy_esikf(*a, **k):
+        calls["esikf"] += 1
+        return real_esikf(*a, **k)
+
+    monkeypatch.setattr(livo_mod, "vio_photometric", spy_photo)
+    monkeypatch.setattr(livo_mod, "vio_esikf", spy_esikf)
+
+    cfg = Config(odometry=OdometryOptions(init_num_frames=2, voxel_size=0.05,
+                                          sample_voxel_size=0.6,
+                                          init_voxel_size=0.05,
+                                          init_sample_voxel_size=0.6),
+                 icp=IcpOptions(min_number_neighbors=8, max_num_residuals=300,
+                                size_voxel_map=0.5, num_iters_icp=6))
+    fe = _run_small_frontend(cfg, rng, n_sweeps=4)
+    assert len(fe.pop_frames()) >= 2
+    # the tracker needs a frame to warm up; after that every esikf update is
+    # followed by a photometric update
+    assert calls["esikf"] >= 1
+    assert calls["photo"] == calls["esikf"], calls
+
+
+def test_imu_deskew_beats_constant_under_acceleration(rng):
+    """Spinning UP during the sweep (angular acceleration): the piecewise
+    IMU deskew recovers the true point positions; the constant-velocity
+    slerp cannot (it assumes a uniform rate). This is what the IMU mode is
+    FOR (distortFrameByImu, utility.cpp:246-322)."""
+    from gslivm_tpu.frontend.odometry import (
+        motion_compensate_constant, motion_compensate_imu)
+
+    # sensor rotates about z with theta(t) = 0.5 * a * t^2 (rate = a*t)
+    a = 8.0  # rad/s^2 — aggressive spin-up
+    T = 0.1
+
+    def Rz(th):
+        c, s = np.cos(th), np.sin(th)
+        return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+
+    pts_w = rng.uniform(-2, 2, (200, 3)) + [0, 0, 3.0]
+    rel = np.linspace(0.0, T, 200)
+    # measured in the (rotating) lidar frame at each point's own time
+    pts_l = np.stack([Rz(0.5 * a * t * t).T @ p for t, p in zip(rel, pts_w)])
+    truth = np.stack([Rz(0.5 * a * T * T).T @ p for p in pts_w])
+
+    q_of = lambda th: np.array([np.cos(th / 2), 0, 0, np.sin(th / 2)])  # noqa: E731
+    q0, q1 = q_of(0.0), q_of(0.5 * a * T * T)
+    zero = np.zeros(3)
+
+    # fine IMU state trail (20 segments); un_gyr over [t_i, t_{i+1}] is the
+    # mid-point rate a*(t_i + t_{i+1})/2, exactly what Odometry.add_imu logs
+    states = [(0.0, q0, zero, zero, zero, zero)]
+    ts = np.linspace(0.0, T, 21)
+    for t0, t1 in zip(ts[:-1], ts[1:]):
+        un_gyr = np.array([0, 0, a * 0.5 * (t0 + t1)])
+        states.append((t1, q_of(0.5 * a * t1 * t1), zero, zero, zero, un_gyr))
+
+    out_imu = motion_compensate_imu(pts_l, rel, states, 0.0, q1, zero,
+                                    np.eye(3), zero)
+    out_const = motion_compensate_constant(pts_l, rel, q0, zero, q1, zero,
+                                           np.eye(3), zero, duration_s=T)
+    err_imu = np.abs(out_imu - truth).max()
+    err_const = np.abs(out_const - truth).max()
+    assert err_imu < 0.01, err_imu
+    assert err_const > 5 * err_imu, (err_imu, err_const)

@@ -115,3 +115,198 @@ def test_overflow_detection_and_escalation():
     assert mapper.overflow_escalations >= 1
     assert budgets[-1] > budgets[0]
     assert int(m.overflow) == 0, f"budget growth never cleared overflow: {budgets}"
+
+
+def test_camera_sampler_round_robin():
+    """Every window camera is visited before any repeats (the exist-list +
+    reset-on-exhaustion semantics of get_random_indices,
+    lioOptimization.cpp:1571-1590, 1860-1913)."""
+    import dataclasses
+
+    from gslivm_tpu.config import GpParams
+
+    cfg = dataclasses.replace(
+        Config(), gp=GpParams(image_sliding_window=5, curr_cam_per_iter=1,
+                              history_cam_per_iter=1))
+    mapper = IncrementalMapper(config=cfg)
+    mapper.cameras = list(range(12))  # stand-ins; sampler only uses len()
+
+    # current window = [7..11]; one full cycle visits each exactly once
+    seen = []
+    for _ in range(5):
+        curr, _h = mapper._sample_cameras()
+        seen += curr
+    assert sorted(seen) == [7, 8, 9, 10, 11], seen
+    # next cycle starts over (reset on exhaustion), again without repeats
+    seen2 = []
+    for _ in range(5):
+        curr, _h = mapper._sample_cameras()
+        seen2 += curr
+    assert sorted(seen2) == [7, 8, 9, 10, 11], seen2
+
+    # history pairs round-robin the pre-window range [0, split-1) too
+    # (start from a fresh cycle: the curr draws above also drew history)
+    mapper._used_hist.clear()
+    hist_seen = []
+    for _ in range(6):
+        _c, pairs = mapper._sample_cameras()
+        hist_seen += [a for a, _b in pairs]
+    assert sorted(set(hist_seen)) == [0, 1, 2, 3, 4, 5]
+    # each pair partner is the +1 neighbor (delta-depth pairing)
+    _c, pairs = mapper._sample_cameras()
+    assert all(b == a + 1 for a, b in pairs)
+
+
+def test_prune_lifecycle_compacts_everything():
+    """Low-opacity pruning drops gaussians, keeps Adam moments attached to
+    their surviving gaussian, and remaps the hash registry so the simi loss
+    keeps finding the right indices (VERDICT r2 next #6)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from gslivm_tpu.config import GpParams, GsOptimParams
+    from gslivm_tpu.models import gaussian_model as gm
+
+    cfg = dataclasses.replace(Config(), gp=GpParams(grid=0.5),
+                              gs=GsOptimParams(prune_interval=0))
+    frames = synthetic.make_sequence(n_frames=2, width=48, height=36,
+                                     points_per_frame=4000)
+    mapper = IncrementalMapper(
+        config=cfg, settings=RasterizeSettings(backend="naive"),
+        bootstrap_points=200, initial_capacity=4096)
+    for fr in frames:
+        mapper.add_frame(fr)
+    for _ in range(2):
+        mapper.train_iteration()
+
+    n0 = int(mapper.params.n_active)
+    # force a third of the gaussians below the opacity floor
+    kill = np.zeros(mapper.params.capacity, bool)
+    kill[:n0:3] = True
+    op = np.array(mapper.params.opacity)  # writable copy
+    op[kill] = -12.0  # sigmoid ~ 6e-6 << 0.005
+    mapper.params = mapper.params.replace(opacity=jnp.asarray(op))
+
+    # remember a surviving gaussian's xyz and its Adam moment row
+    import jax
+    leaves0 = [leaf for leaf in jax.tree.leaves(mapper.opt_state)
+               if hasattr(leaf, "ndim") and leaf.ndim >= 1
+               and leaf.shape[0] == mapper.params.capacity]
+    survivor = 1  # index 1 is not killed (kill pattern ::3)
+    assert not kill[survivor]
+    xyz_before = np.asarray(mapper.params.xyz[survivor])
+    mom_before = [np.asarray(l[survivor]) for l in leaves0]
+    reg_before = {h: mapper.registry.lookup(h)
+                  for h in list(mapper.loss_anchors)[:5]
+                  if mapper.registry.lookup(h) is not None}
+
+    dropped = mapper.prune_map()
+    assert dropped == int(kill.sum()), (dropped, int(kill.sum()))
+    n1 = int(mapper.params.n_active)
+    assert n1 == n0 - dropped
+
+    # survivor slid to the front (it was index 1, one killed before it)
+    assert np.allclose(np.asarray(mapper.params.xyz[0]), xyz_before)
+    leaves1 = [leaf for leaf in jax.tree.leaves(mapper.opt_state)
+               if hasattr(leaf, "ndim") and leaf.ndim >= 1
+               and leaf.shape[0] == mapper.params.capacity]
+    for m0, l1 in zip(mom_before, leaves1):
+        assert np.allclose(np.asarray(l1[0]), m0)
+
+    # registry ranges still point at the right (compacted) gaussians
+    prefix = np.concatenate([[0], np.cumsum(~kill)])
+    for h, (s, c) in reg_before.items():
+        r = mapper.registry.lookup(h)
+        expect_c = int(prefix[s + c] - prefix[s])
+        if expect_c == 0:
+            assert r is None
+        else:
+            assert r == (int(prefix[s]), expect_c), (h, r)
+
+    # training continues cleanly after the prune
+    m = mapper.train_iteration()
+    assert m is not None and np.isfinite(float(m.loss))
+
+    # pruning below the floor is idempotent
+    assert mapper.prune_map() == 0
+
+
+def test_budget_autofit_shrinks_to_scene():
+    """Feedback budget fit: after a window of steps with measured expansion
+    far below the loose default budgets, max_instances/max_chunks_per_tile
+    shrink to the measured scale (+margin); overflow marks the budget as
+    non-viable so the fit never shrinks back into it."""
+    from gslivm_tpu.models.training import TrainMetrics
+
+    mapper = IncrementalMapper(
+        settings=RasterizeSettings(backend="pallas", max_instances=2**20,
+                                   max_chunks_per_tile=64))
+    z = np.float32(0)
+
+    def fake(n_inst, n_chunks, ovf=0):
+        return TrainMetrics(loss=z, image_loss=z, simi=z, delta=z, psnr=z,
+                            ssim=z, overflow=np.int32(ovf),
+                            num_instances=np.int32(n_inst),
+                            max_nchunks=np.int32(n_chunks))
+
+    for _ in range(mapper.budget_fit_window):
+        mapper._maybe_shrink_budgets(fake(90_000, 4))
+    assert mapper.settings.max_instances == 2 * mapper._INST_BUCKET  # 131072
+    assert mapper.settings.max_chunks_per_tile == 8
+    fitted = mapper.settings.max_instances
+
+    # overflow at the fitted budget pins the floor above it
+    mapper._overflowed_at = fitted
+    for _ in range(mapper.budget_fit_window):
+        mapper._maybe_shrink_budgets(fake(10_000, 2))
+    assert mapper.settings.max_instances == fitted  # no shrink into overflow
+
+    # naive backend: fit is a no-op
+    m2 = IncrementalMapper(settings=RasterizeSettings(backend="naive"))
+    for _ in range(m2.budget_fit_window + 1):
+        m2._maybe_shrink_budgets(fake(1, 1))
+    assert m2.settings.max_instances == RasterizeSettings().max_instances
+
+
+def test_concurrent_mapper_overlaps_and_converges():
+    """ConcurrentMapper (the optimize_vis-thread analog): frames submitted
+    from the producer thread are all mapped, the per-frame training credits
+    are all spent, and the result improves PSNR just like the serial path —
+    race-free under the lock discipline."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from gslivm_tpu.config import GpParams
+    from gslivm_tpu.ops.losses import psnr
+    from gslivm_tpu.pipeline import ConcurrentMapper
+
+    cfg = dataclasses.replace(Config(), gp=GpParams(grid=0.5))
+    frames = synthetic.make_sequence(n_frames=3, width=48, height=36,
+                                     points_per_frame=5000)
+    mapper = IncrementalMapper(
+        config=cfg, settings=RasterizeSettings(backend="naive"),
+        bootstrap_points=200, initial_capacity=4096)
+
+    cm = ConcurrentMapper(mapper, iters_per_frame=4)
+    for fr in frames:
+        cm.submit_frame(fr)
+    mapper = cm.finish()
+
+    assert cm.frames_mapped == 3
+    assert cm.trained >= 4  # at least the post-bootstrap frames' credits
+    assert cm.last_metrics is not None
+    assert np.isfinite(float(cm.last_metrics.loss))
+    assert cm.busy_s > 0
+
+    out = mapper.render_keyframe(0)
+    p = float(psnr(out.color, jnp.asarray(mapper.gt_images[0])))
+    assert p > 10.0, p
+
+    # worker errors surface on finish(), not silently
+    cm2 = ConcurrentMapper(mapper, iters_per_frame=1)
+    bad = frames[0]._replace(points_world="not an array")
+    cm2.submit_frame(bad)
+    with pytest.raises(RuntimeError):
+        cm2.finish()

@@ -57,7 +57,7 @@ def main():
     cfg = RP.PallasConfig(grid_x=sgx, grid_y=sgy,
                           max_chunks_per_tile=MAXCH, interpret=False,
                           pw=16 * bx, ph=16 * by, rect_test=True,
-                          sorted_input=True, pad_cols=pad_cols)
+                          pad_cols=pad_cols)
 
     def _bin(pre, aligned=False):
         return B.bin_instances(pre, WIDTH, HEIGHT, MAXI, MAXCH,
