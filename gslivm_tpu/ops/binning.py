@@ -219,21 +219,40 @@ def bin_instances(
     )
     total = offsets[-1] + counts[-1]
 
+    # The per-INSTANCE section below runs in a [R, 128] 2-D layout, not
+    # flat [max_instances]: TPU lays 1-D arrays out as (1, M) — one sublane
+    # of eight live — so every elementwise pass over ~1M flat slots wastes
+    # ~8x VPU throughput (measured tools/microbench_tileid.py: the same
+    # chain is ~6x faster on [R, 128]). The 2-D gather below produces the
+    # layout directly (no relayout copy); only the final sort key is
+    # flattened (lax.sort sorts along the last axis).
+    mi2 = -(-max_instances // 128) * 128
+    R = mi2 // 128
+    slots = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0) * 128 \
+        + jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+
     # 2) slot -> (depth-ranked) gaussian WITHOUT searchsorted (XLA lowers
     #    searchsorted to ~log2(P) serial 2M-gathers — 276 ms at 1080p):
     #    scatter each gaussian's index at its start offset, then a running
     #    max fills the runs. Equal offsets (zero-count gaussians) resolve to
-    #    the largest index, which is the run owner.
-    slots = jnp.arange(max_instances, dtype=jnp.int32)
-    marks = jnp.zeros((max_instances,), jnp.int32).at[offsets].max(
+    #    the largest index, which is the run owner. The running max is a
+    #    TWO-LEVEL scan in the 2-D layout: within rows, then a [R] row
+    #    carry (rows are scanned sublane-parallel; the 1-D carry is 128x
+    #    smaller than the flat scan).
+    marks2 = jnp.zeros((R, 128), jnp.int32).at[offsets // 128,
+                                               offsets % 128].max(
         jnp.arange(num_gauss, dtype=jnp.int32), mode="drop")
-    gid = jax.lax.cummax(marks)
+    within = jax.lax.cummax(marks2, axis=1)
+    row_carry = jax.lax.cummax(within[:, -1])
+    prev_rows = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), row_carry[:-1]])
+    gid = jnp.maximum(within, prev_rows[:, None])
     slot_valid = slots < jnp.minimum(total, max_instances)
 
     # 3) slot -> tile within the gaussian's rect, row-major like the CUDA
     #    loop (duplicateWithKeys, rasterizer_impl.cu:64-101). ALL per-slot
     #    metadata (rect, run offset, and the cull's splat params) comes from
-    #    ONE 2-D gather of a small (rows, P) rank-space table — gather cost
+    #    ONE gather of a small (rows, P) rank-space table — gather cost
     #    on TPU scales with the index count, not the row count, so merging
     #    the gathers (and folding the run-offset expansion into a table row)
     #    is ~2x cheaper than separate fetches. Int rows ride as exact f32
@@ -254,7 +273,7 @@ def bin_instances(
         meta = jnp.concatenate([jnp.stack(meta_rows, axis=0), ftab], axis=0)
     else:
         meta = jnp.stack(meta_rows, axis=0)
-    m = meta[:, gid]
+    m = meta[:, gid]  # [rows, R, 128]: 2-D indices -> layout-friendly output
     r_x, r_y, r_w, off_slot = (m[i].astype(jnp.int32) for i in range(4))
     k = slots - off_slot
     # k // r_w and k % r_w via the GATHERED per-gaussian f32 reciprocal +
@@ -285,18 +304,25 @@ def bin_instances(
     #    stable ties (rasterizer_impl.cu:94, 295-309), since rank order ==
     #    (depth, index) order. Falls back to a 2-key sort if the packed key
     #    would overflow int32 ((tile, rank) pairs are unique, so stability
-    #    is irrelevant there).
+    #    is irrelevant there). Slots in [max_instances, mi2) (the 128-pad
+    #    of the 2-D layout) carry the sentinel and sort to the end with the
+    #    other invalid slots; the flat views below trim back to
+    #    max_instances, which can only drop sentinel slots.
     bits_p = max(int(np.ceil(np.log2(max(num_gauss, 2)))), 1)
     bits_tile = int(np.ceil(np.log2(num_tiles + 2)))
     if bits_p + bits_tile <= 31:
         key = (tile_id << bits_p) | gid
-        key_sorted = jax.lax.sort((key,), num_keys=1, is_stable=False)[0]
+        key_sorted = jax.lax.sort((key.reshape(mi2),), num_keys=1,
+                                  is_stable=False)[0][:max_instances]
         tile_sorted = key_sorted >> bits_p
         gid_sorted = key_sorted & ((1 << bits_p) - 1)
     else:
         tile_sorted, gid_sorted = jax.lax.sort(
-            (tile_id, gid), num_keys=2, is_stable=False
+            (tile_id.reshape(mi2), gid.reshape(mi2)), num_keys=2,
+            is_stable=False
         )
+        tile_sorted = tile_sorted[:max_instances]
+        gid_sorted = gid_sorted[:max_instances]
 
     # 5) Per-tile ranges (identifyTileRanges equivalent; 8k-element
     #    searchsorted over the sorted 2M keys is cheap) + cap + CHUNK-pad.
@@ -348,8 +374,9 @@ def bin_instances(
             jnp.stack([delta_t, keep_end_t]).astype(jnp.int32), mode="drop")
         expanded = jax.lax.cummax(marks2, axis=1)
         delta_s, keep_end_s = expanded[0], expanded[1]
-        dst = slots + delta_s
-        keep = (tile_sorted < num_tiles) & (slots < keep_end_s)
+        flat_slots = jnp.arange(max_instances, dtype=jnp.int32)
+        dst = flat_slots + delta_s
+        keep = (tile_sorted < num_tiles) & (flat_slots < keep_end_s)
         dst = jnp.where(keep, dst, padded_size)  # dropped -> discard slot
         gauss_rank = jnp.full((padded_size + 1,), -1, dtype=jnp.int32)
         gauss_rank = gauss_rank.at[dst].set(

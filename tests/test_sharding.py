@@ -1,6 +1,8 @@
 """Multi-device sharding tests on the 8-device virtual CPU mesh:
 sharded train step must match the single-device step numerically."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -311,3 +313,44 @@ def test_primitive_memory_scales_with_gauss_axis():
     # and beats the full-gather strategy on the same mesh
     tg, _ = mem(4, "pallas")
     assert t4 < tg, (t4, tg)
+
+
+def test_multihost_two_process_entry():
+    """The jax.distributed multi-host entry (BASELINE configs[4] N>=2
+    hosts): two OS processes initialize the global runtime, build one
+    global ("gauss","pixel") mesh, and run a primitive-sharded train step
+    whose collectives cross the process boundary (the DCN path shape).
+    Runs the real tools/multihost_demo.py CLI."""
+    import json
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:  # pick a free port
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    root = os.path.join(os.path.dirname(__file__), "..")
+    script = os.path.join(root, "tools", "multihost_demo.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+
+    def proc(pid):
+        return subprocess.Popen(
+            [sys.executable, script, "--coordinator", f"localhost:{port}",
+             "--num-processes", "2", "--process-id", str(pid),
+             "--gauss", "1024", "--width", "48", "--height", "32"],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+            cwd=root, text=True)
+
+    p1 = proc(1)
+    p0 = proc(0)
+    out0, err0 = p0.communicate(timeout=600)
+    out1, err1 = p1.communicate(timeout=60)
+    assert p0.returncode == 0, err0[-2000:]
+    assert p1.returncode == 0, err1[-2000:]
+    row = json.loads([ln for ln in out0.splitlines()
+                      if ln.startswith("{")][-1])
+    assert row["global_devices"] == 4
+    assert row["processes"] == 2
+    assert row["mesh"] == {"gauss": 2, "pixel": 2}
+    assert np.isfinite(row["loss"]) and row["loss"] > 0

@@ -134,4 +134,89 @@ if __name__ == "__main__":
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
                      ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "bwd":
+        main_bwd()
+    else:
+        main()
+
+
+def main_bwd():
+    """Finer backward-side cuts: kernel-only vs +scatter vs +table-VJP."""
+    import jax
+    import jax.numpy as jnp
+    from tputime import report
+
+    from gslivm_tpu.models.cameras import make_camera
+    from gslivm_tpu.ops import binning as B
+    from gslivm_tpu.ops import rasterize_pallas as RP
+    from gslivm_tpu.ops.rasterize_reference import preprocess, tile_grid
+
+    rng = np.random.default_rng(0)
+    means = jnp.asarray(rng.normal(0, 2.0, (N, 3)) + [0, 0, 6.0], jnp.float32)
+    scales = jnp.asarray(rng.uniform(0.01, 0.05, (N, 3)), jnp.float32)
+    q = rng.normal(size=(N, 4))
+    quats = jnp.asarray(q / np.linalg.norm(q, axis=1, keepdims=True),
+                        jnp.float32)
+    opac = jnp.asarray(rng.uniform(0.3, 0.9, (N,)), jnp.float32)
+    shs = jnp.asarray(rng.uniform(-0.3, 0.8, (N, 1, 3)), jnp.float32)
+    cam = make_camera(np.eye(3), np.zeros(3), WIDTH, HEIGHT, fovx=1.2,
+                      fovy=0.8)
+
+    bx, by = BLOCK
+    grid_x, grid_y = tile_grid(WIDTH, HEIGHT)
+    sgx, sgy = -(-grid_x // bx), -(-grid_y // by)
+    num_tiles = sgx * sgy
+    pad_cols = B._padded_capacity(MAXI, num_tiles, SLACK)
+    cfg = RP.PallasConfig(grid_x=sgx, grid_y=sgy,
+                          max_chunks_per_tile=MAXCH, interpret=False,
+                          pw=16 * bx, ph=16 * by, rect_test=True,
+                          pad_cols=pad_cols)
+
+    # precompute fwd state ONCE (host constants for the bwd-only stages)
+    pre0 = preprocess(means, scales, quats, opac, shs, cam)
+    pre0 = jax.tree.map(jax.lax.stop_gradient, pre0)
+    binned = B.bin_instances(pre0, WIDTH, HEIGHT, MAXI, MAXCH,
+                             capacity_slack=SLACK, block_x=bx, block_y=by,
+                             aligned_layout=False)
+    table = RP._build_rank_table(pre0, binned.dorder, rect_rows=True)
+    gid_ext = jnp.concatenate(
+        [binned.gid_sorted, jnp.zeros((2 * B.CHUNK,), jnp.int32)])
+    inst = table[:, gid_ext]
+    out, ckpt = RP._fwd_call(cfg, inst, binned.sorted_start,
+                             binned.tile_nchunks, binned.cnt_allowed,
+                             save_ckpt=True)
+    out = jax.block_until_ready(out)
+    neff = out[:, 7, 0].astype(jnp.int32)
+    g_tiles = jnp.ones_like(out)
+
+    def s_bwd_kernel(g_tiles):
+        return RP._bwd_call(cfg, inst, binned.sorted_start, neff,
+                            binned.cnt_allowed, binned.tile_offset, g_tiles,
+                            out, ckpt)
+
+    def s_bwd_zero(g_tiles):
+        d_pad = s_bwd_kernel(g_tiles)
+        pad = cfg.pad_cols
+        bound_marks = jnp.zeros((pad,), jnp.int32).at[binned.tile_offset].max(
+            binned.tile_offset + B.CHUNK * neff, mode="drop")
+        bound = jax.lax.cummax(bound_marks)
+        slot = jnp.arange(pad, dtype=jnp.int32)
+        return jnp.where((slot < bound)[None, :], d_pad, 0.0)
+
+    def s_bwd_scatter(g_tiles):
+        d_pad = s_bwd_zero(g_tiles)
+        ids = d_pad[RP._FID].astype(jnp.int32)
+        return jnp.zeros((10, N), jnp.float32).at[:, ids].add(d_pad[:10])
+
+    def s_fwd_only(g_tiles):
+        o, c = RP._fwd_call(cfg, inst, binned.sorted_start,
+                            binned.tile_nchunks, binned.cnt_allowed,
+                            save_ckpt=True)
+        return o[:, :5, :].sum() + g_tiles[0, 0, 0]
+
+    report("fwd kernel (ckpt) only", s_fwd_only, g_tiles)
+    report("bwd kernel only", s_bwd_kernel, g_tiles)
+    report("+ zero never-written", s_bwd_zero, g_tiles)
+    report("+ grad scatter-add", s_bwd_scatter, g_tiles)
+
+
