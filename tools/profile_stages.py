@@ -127,19 +127,6 @@ def main():
     report("FULL fwd+bwd", grad_full, *args)
 
 
-if __name__ == "__main__":
-    import jax
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
-                     ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    if len(sys.argv) > 1 and sys.argv[1] == "bwd":
-        main_bwd()
-    else:
-        main()
-
-
 def main_bwd():
     """Finer backward-side cuts: kernel-only vs +scatter vs +table-VJP."""
     import jax
@@ -220,3 +207,14 @@ def main_bwd():
     report("+ grad scatter-add", s_bwd_scatter, g_tiles)
 
 
+if __name__ == "__main__":
+    import jax
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                     ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if len(sys.argv) > 1 and sys.argv[1] == "bwd":
+        main_bwd()
+    else:
+        main()
