@@ -84,6 +84,9 @@ def main():
             max_instances=MAX_INSTANCES, interpret=not on_tpu,
             capacity_slack=CAPACITY_SLACK,
             block_x=BLOCK[0], block_y=BLOCK[1],
+            # production gradient contract: depth cotangents are dropped
+            # (rasterizer.cu:79), so the backward skips the depth grad row
+            depth_grad=False,
             # measured max 7 chunks/tile for this scene; 16 halves twice over
             # the fwd-checkpoint HBM traffic vs the default 64 (the ckpt
             # array is [tiles, max_chunks, npix] and is DMA'd in full)

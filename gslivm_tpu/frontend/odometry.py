@@ -354,6 +354,42 @@ class Odometry:
                            success)
 
 
+def _quat_rotate_rows(q: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Rotate each row v[i] by unit quaternion q[i] (wxyz): v + 2w(u x v)
+    + 2 u x (u x v). Vectorized over rows."""
+    w = q[:, :1]
+    u = q[:, 1:]
+    uv = np.cross(u, v)
+    return v + 2.0 * (w * uv + np.cross(u, uv))
+
+
+def _quat_mul_rows(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Row-wise Hamilton product (wxyz), a [N,4] x b [N,4]."""
+    aw, ax, ay, az = a[:, 0], a[:, 1], a[:, 2], a[:, 3]
+    bw, bx, by, bz = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
+    return np.stack([
+        aw * bw - ax * bx - ay * by - az * bz,
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+    ], axis=1)
+
+
+def _so3_to_quat_rows(r: np.ndarray) -> np.ndarray:
+    """Row-wise exp map to quaternion with the small-angle branch
+    (utility.h so3ToQuat semantics, vectorized)."""
+    theta = np.linalg.norm(r, axis=1, keepdims=True)
+    small = theta[:, 0] < so3.THETA_THRESHOLD
+    # small-angle: normalize([1, r/2])
+    q_small = np.concatenate([np.ones((len(r), 1)), 0.5 * r], axis=1)
+    q_small /= np.linalg.norm(q_small, axis=1, keepdims=True)
+    safe = np.where(theta > 0, theta, 1.0)
+    axis = r / safe
+    q_big = np.concatenate(
+        [np.cos(theta / 2), np.sin(theta / 2) * axis], axis=1)
+    return np.where(small[:, None], q_small, q_big)
+
+
 def motion_compensate_imu(
     points_lidar: np.ndarray,
     rel_time_s: np.ndarray,
@@ -364,29 +400,36 @@ def motion_compensate_imu(
     """distortFrameByImu (utility.cpp:246-322): piecewise-IMU-state
     deskewing — each point is placed with the pose integrated from its
     bracketing IMU interval (quat_imu * exp(un_gyr dt), trans + v dt +
-    0.5 a dt^2), then re-expressed in the end-of-sweep LiDAR frame."""
+    0.5 a dt^2), then re-expressed in the end-of-sweep LiDAR frame.
+    Fully vectorized over points (the reference's per-point loop is CPU
+    real-time budget; a 20k-point sweep must deskew in well under the
+    100 ms sweep interval)."""
+    points_lidar = np.asarray(points_lidar, np.float64)
     R_il = np.asarray(R_il, np.float64)
+    t_il = np.asarray(t_il, np.float64)
+    t_end = np.asarray(t_end, np.float64)
     R_end = so3.quat_to_rot(q_end)
-    out = np.empty_like(points_lidar, dtype=np.float64)
     times = t_frame_begin + np.asarray(rel_time_s, np.float64)
-    order = np.argsort(times, kind="stable")
-    seg = 0
-    for oi in order:
-        tp = times[oi]
-        while (seg + 2 < len(imu_states)
-               and tp >= imu_states[seg + 1][0] - 1e-6):
-            seg += 1
-        t0, q0, tr0, v0, _, _ = imu_states[seg]
-        _, _, _, _, un_acc, un_gyr = imu_states[seg + 1]
-        dt = max(tp - t0, 0.0)
-        qp = so3.quat_mul(np.asarray(q0, np.float64),
-                          so3.so3_to_quat(np.asarray(un_gyr) * dt))
-        trp = (np.asarray(tr0) + np.asarray(v0) * dt
-               + 0.5 * np.asarray(un_acc) * dt * dt)
-        world = so3.quat_to_rot(qp) @ (R_il @ points_lidar[oi] + t_il) + trp
-        imu_end = R_end.T @ (world - t_end)
-        out[oi] = R_il.T @ (imu_end - t_il)
-    return out
+    M = len(imu_states)
+
+    T = np.asarray([s[0] for s in imu_states], np.float64)
+    Q = np.stack([np.asarray(s[1], np.float64) for s in imu_states])
+    TR = np.stack([np.asarray(s[2], np.float64) for s in imu_states])
+    V = np.stack([np.asarray(s[3], np.float64) for s in imu_states])
+    UA = np.stack([np.asarray(s[4], np.float64) for s in imu_states])
+    UG = np.stack([np.asarray(s[5], np.float64) for s in imu_states])
+
+    # bracketing segment per point: the largest s <= M-2 with
+    # tp >= T[j] - 1e-6 for all j <= s (the reference's advance-while loop)
+    seg = np.searchsorted(T[1:M - 1], times + 1e-6, side="right") \
+        if M > 2 else np.zeros(len(times), np.int64)
+
+    dt = np.maximum(times - T[seg], 0.0)[:, None]
+    qp = _quat_mul_rows(Q[seg], _so3_to_quat_rows(UG[seg + 1] * dt))
+    trp = TR[seg] + V[seg] * dt + 0.5 * UA[seg + 1] * dt * dt
+    world = _quat_rotate_rows(qp, points_lidar @ R_il.T + t_il) + trp
+    imu_end = (world - t_end) @ R_end
+    return (imu_end - t_il) @ R_il
 
 
 def motion_compensate_constant(
@@ -399,17 +442,32 @@ def motion_compensate_constant(
     """distortFrameByConstant (utility.cpp:204-244): per-point slerp pose,
     transform to world, then re-express in the END-of-sweep LiDAR frame.
     duration_s is the begin->end pose interval (the reference uses the IMU
-    window, utility.cpp:212); defaults to the max point time."""
+    window, utility.cpp:212); defaults to the max point time. Vectorized
+    over points (Eigen slerp semantics, including the near-parallel nlerp
+    branch)."""
+    points_lidar = np.asarray(points_lidar, np.float64)
     duration = duration_s if duration_s else max(rel_time_s.max(), 1e-9)
-    alphas = np.clip(rel_time_s / duration, 0.0, 1.0)
+    a = np.clip(np.asarray(rel_time_s, np.float64) / duration,
+                0.0, 1.0)[:, None]
     R_il = np.asarray(R_il, np.float64)
-    out = np.empty_like(points_lidar, dtype=np.float64)
+    t_il = np.asarray(t_il, np.float64)
+    t_begin = np.asarray(t_begin, np.float64)
+    t_end = np.asarray(t_end, np.float64)
     R_end = so3.quat_to_rot(q_end)
-    for i, (p, a) in enumerate(zip(points_lidar, alphas)):
-        qa = so3.quat_slerp(q_begin, q_end, a)
-        ta = (1 - a) * np.asarray(t_begin) + a * np.asarray(t_end)
-        world = so3.quat_to_rot(qa) @ (R_il @ p + t_il) + ta
-        # back to end-of-sweep lidar frame
-        imu_end = R_end.T @ (world - t_end)
-        out[i] = R_il.T @ (imu_end - t_il)
-    return out
+
+    q0 = so3.quat_normalize(np.asarray(q_begin, np.float64))
+    q1 = so3.quat_normalize(np.asarray(q_end, np.float64))
+    d = float(np.dot(q0, q1))
+    if d < 0:
+        q1, d = -q1, -d
+    if d > 1 - 1e-10:  # near-parallel: Eigen's nlerp branch
+        qa = (1 - a) * q0 + a * q1
+        qa /= np.linalg.norm(qa, axis=1, keepdims=True)
+    else:
+        theta = np.arccos(d)
+        qa = (np.sin((1 - a) * theta) * q0 + np.sin(a * theta) * q1) \
+            / np.sin(theta)
+    ta = (1 - a) * t_begin + a * t_end
+    world = _quat_rotate_rows(qa, points_lidar @ R_il.T + t_il) + ta
+    imu_end = (world - t_end) @ R_end
+    return (imu_end - t_il) @ R_il

@@ -84,6 +84,9 @@ def _render_impl(settings: RasterizeSettings, camera, means, scales, quats,
             capacity_slack=settings.capacity_slack,
             block_x=settings.block_x,
             block_y=settings.block_y,
+            # with the reference depth-grad-drop contract the backward can
+            # skip the depth grad row + its scatter share entirely
+            depth_grad=settings.depth_grad,
         )
     else:
         raise ValueError(f"unknown rasterizer backend: {backend!r}")

@@ -98,6 +98,10 @@ class PallasConfig(NamedTuple):
     # the profiling/stat tools (bin_instances aligned_layout=True).
     pad_cols: int = 0           # width of the backward's CHUNK-aligned
                                 # per-instance grad output
+    skip_depth_grad: bool = False  # reference depth-grad-drop contract
+    # (rasterizer.cu:79): when the caller drops the depth cotangent anyway,
+    # the backward skips the psi depth term, the depth grad row, and its
+    # share of the gradient scatter
 
     @property
     def npix(self) -> int:
@@ -444,7 +448,9 @@ def _bwd_kernel(cfg: PallasConfig, off_ref, neff_ref, cnt_ref, poff_ref,
         # One fused suffix scan: the per-output cotangents enter dL/dalpha
         # only through psi_j = sum_ch g_ch * c_j_ch (+ gD*d_j + gA), so the
         # five per-channel suffix sums collapse to the suffix sum of w*psi.
-        psi = gC0 * r + gC1 * gch + gC2 * b + gD * dep + gA
+        psi = gC0 * r + gC1 * gch + gC2 * b + gA
+        if not cfg.skip_depth_grad:
+            psi = psi + gD * dep
         S = _suffix_excl(w * psi) + Wpsi
 
         one_minus = 1.0 - m["alpha"]
@@ -479,8 +485,9 @@ def _bwd_kernel(cfg: PallasConfig, off_ref, neff_ref, cnt_ref, poff_ref,
             psum(gC0 * w),                            # d color r
             psum(gC1 * w),                            # d color g
             psum(gC2 * w),                            # d color b
-            psum(gD * w),                             # d depth
         ]
+        if not cfg.skip_depth_grad:
+            grads.append(psum(gD * w))                # d depth
         # the rank-id feature row rides along with the grads: the VJP's
         # gradient scatter indexes by it, so no padded id array is ever
         # materialized (masked overrun rows were zeroed -> id 0, grad 0)
@@ -706,9 +713,11 @@ def _render_from_table_bwd(cfg, res, g_tiles):
     # per-gaussian (rank-space) reduction: indices come from the kernel's
     # id row; masked/padding slots carry id 0 with zero grads
     ids = d_pad[_FID].astype(jnp.int32)
-    d10 = jnp.zeros((10, tshape[1]), d_pad.dtype).at[:, ids].add(d_pad[:10])
+    ndg = 9 if cfg.skip_depth_grad else 10  # depth row skipped with the
+    # reference's depth-grad-drop contract (kernel wrote zeros there)
+    dg = jnp.zeros((ndg, tshape[1]), d_pad.dtype).at[:, ids].add(d_pad[:ndg])
     d_table = jnp.concatenate(
-        [d10, jnp.zeros((tshape[0] - 10, tshape[1]), d_pad.dtype)], axis=0)
+        [dg, jnp.zeros((tshape[0] - ndg, tshape[1]), d_pad.dtype)], axis=0)
     f0 = lambda s: np.zeros(s, jax.dtypes.float0)  # noqa: E731
     return (d_table, f0(gshape), f0(nshape), f0(nshape), f0(nshape),
             f0(nshape))
@@ -743,6 +752,7 @@ def render_tiles_raw(
     capacity_slack: float = 0.6,
     block_x: int = 1,
     block_y: int = 1,
+    depth_grad: bool = True,
 ):
     """Bin + render an already-PREPROCESSED gaussian set to raw tile images.
 
@@ -792,6 +802,7 @@ def render_tiles_raw(
         ph=ph,
         rect_test=blocked,
         pad_cols=pad_cols,
+        skip_depth_grad=not depth_grad,
     )
 
     banded = dynamic_band or tile_band is not None
@@ -848,6 +859,7 @@ def rasterize_pallas(
     capacity_slack: float = 0.6,
     block_x: int = 1,
     block_y: int = 1,
+    depth_grad: bool = True,
 ) -> RenderOutput:
     """Tile-binned Pallas rasterization, API-compatible with rasterize_naive.
 
@@ -880,7 +892,7 @@ def rasterize_pallas(
         max_chunks_per_tile=max_chunks_per_tile, interpret=interpret,
         tile_band=tile_band, band_rows=band_rows, band_start=band_start,
         tile_cull=tile_cull, capacity_slack=capacity_slack,
-        block_x=block_x, block_y=block_y)
+        block_x=block_x, block_y=block_y, depth_grad=depth_grad)
     n_rows, sgrid_x, sgrid_y = layout.n_rows, layout.sgrid_x, layout.sgrid_y
     pw, ph = layout.pw, layout.ph
     dynamic_band = layout.dynamic_band

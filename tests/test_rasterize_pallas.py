@@ -269,3 +269,30 @@ def test_supertile_matches_tile(bx, by, rng):
         a, b = np.asarray(a), np.asarray(b)
         scale = np.abs(a).max() + 1e-8
         np.testing.assert_allclose(b, a, atol=1e-5 * scale, rtol=1e-4)
+
+
+def test_skip_depth_grad_matches_full():
+    """With zero depth cotangent (the reference drop contract), the
+    depth-row-skipping backward (depth_grad=False) must produce identical
+    parameter gradients to the full backward."""
+    rng = np.random.default_rng(5)
+    n = 64
+    cam = _cam(48, 32)
+    means, scales, quats, opac, shs = _scene(n, rng)
+    gt = jnp.asarray(rng.uniform(size=(3, 32, 48)), dtype=jnp.float32)
+
+    def loss_with(dg):
+        def f(means, scales, quats, opac, shs):
+            out = rasterize_pallas(means, scales, quats, opac, shs, cam,
+                                   max_instances=1 << 13, interpret=True,
+                                   depth_grad=dg)
+            return jnp.sum((out.color - gt) ** 2) + 0.1 * jnp.sum(out.acc)
+        return f
+
+    g_full = jax.grad(loss_with(True), argnums=(0, 1, 2, 3, 4))(
+        means, scales, quats, opac, shs)
+    g_skip = jax.grad(loss_with(False), argnums=(0, 1, 2, 3, 4))(
+        means, scales, quats, opac, shs)
+    for a, b in zip(g_full, g_skip):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=1e-6, rtol=1e-6)
