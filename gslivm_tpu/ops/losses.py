@@ -96,22 +96,20 @@ def _gaussian_blur_shift_add(img, taps: np.ndarray):
 def ssim(img1, img2, window_size: int = 11, sigma: float = 1.5, symmetric_window: bool = False):
     """Mean SSIM over the image (loss_utils.cuh:43-70). Inputs [C, H, W].
 
-    The five blurs (mu1, mu2, E[x^2], E[y^2], E[xy]) run as ONE stacked
-    [5C, H, W] shift-add sweep: the tap chain's memory traffic is paid once
-    instead of five times (the per-channel arithmetic is unchanged, so the
-    result is bit-identical to five separate blurs)."""
+    (r3 negative result: stacking the five blurs into ONE [5C, H, W]
+    shift-add sweep measured 2x SLOWER on v5e — 12.6 vs 6.0 ms fwd+bwd at
+    1080p: the concatenate materializes the stack and breaks XLA's fusion
+    of each blur into its producer. Five separate fused chains stay.)"""
     taps = gaussian_1d(window_size, sigma, symmetric_window)
-    C = img1.shape[0]
-    stacked = jnp.concatenate(
-        [img1, img2, img1 * img1, img2 * img2, img1 * img2], axis=0)
-    blurred = _gaussian_blur_shift_add(stacked, taps)
-    mu1, mu2 = blurred[:C], blurred[C:2 * C]
+    conv = lambda x: _gaussian_blur_shift_add(x, taps)
+    mu1 = conv(img1)
+    mu2 = conv(img2)
     mu1_sq = mu1 * mu1
     mu2_sq = mu2 * mu2
     mu1_mu2 = mu1 * mu2
-    sigma1_sq = blurred[2 * C:3 * C] - mu1_sq
-    sigma2_sq = blurred[3 * C:4 * C] - mu2_sq
-    sigma12 = blurred[4 * C:] - mu1_mu2
+    sigma1_sq = conv(img1 * img1) - mu1_sq
+    sigma2_sq = conv(img2 * img2) - mu2_sq
+    sigma12 = conv(img1 * img2) - mu1_mu2
     ssim_map = ((2.0 * mu1_mu2 + _C1) * (2.0 * sigma12 + _C2)) / (
         (mu1_sq + mu2_sq + _C1) * (sigma1_sq + sigma2_sq + _C2)
     )

@@ -463,10 +463,6 @@ def _bwd_kernel(cfg: PallasConfig, off_ref, neff_ref, cnt_ref, poff_ref,
         not_clamped = m["raw_alpha"] < 0.99
         G = m["G"]
         op = featT[:, _FO][:, None]
-        d_op = jnp.where(not_clamped, G, 0.0) * dLda
-        d_power = jnp.where(not_clamped, op, 0.0) * dLda * G
-
-        dx, dy = m["dx"], m["dy"]
         ca = featT[:, _FA][:, None]
         cb = featT[:, _FB][:, None]
         cc = featT[:, _FC][:, None]
@@ -475,6 +471,15 @@ def _bwd_kernel(cfg: PallasConfig, off_ref, neff_ref, cnt_ref, poff_ref,
         def psum(v):
             return jnp.sum(v, axis=1, keepdims=True)
 
+        # (r3 negative result: computing the five d_power rows from MXU
+        # pixel-moments of a shared integrand — dx separability turns them
+        # into polynomial combos of six e-moments, one (CHUNK,NPIX)x(NPIX,6)
+        # bf16-split matmul — measured EXACTLY the same bwd-kernel time,
+        # 23.1 vs 23.2 ms: the cross-lane reductions are not the
+        # bottleneck. The direct form stays.)
+        dx, dy = m["dx"], m["dy"]
+        d_op = jnp.where(not_clamped, G, 0.0) * dLda
+        d_power = jnp.where(not_clamped, op, 0.0) * dLda * G
         grads = [
             psum(d_power * (-(ca * dx + cb * dy))),   # d mean2d.x
             psum(d_power * (-(cc * dy + cb * dx))),   # d mean2d.y

@@ -79,11 +79,46 @@ def main():
     report("ssim separable fwd+bwd", jax.grad(ssim_sep), a)
 
 
-if __name__ == "__main__":
+
+
+def main_stack():
+    """A/B: stacked-5-blur ssim (current) vs five separate blur chains."""
     import jax
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
-                     ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    main()
+    import jax.numpy as jnp
+    from tputime import report
+
+    from gslivm_tpu.ops import losses as L
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.uniform(size=(3, H, W)), jnp.float32)
+    b = jnp.asarray(rng.uniform(size=(3, H, W)), jnp.float32)
+    taps = L.gaussian_1d()
+    _C1, _C2 = L._C1, L._C2
+
+    def ssim_sep(img1):
+        img2 = b
+        conv = lambda x: L._gaussian_blur_shift_add(x, taps)
+        mu1 = conv(img1)
+        mu2 = conv(img2)
+        mu1_sq = mu1 * mu1
+        mu2_sq = mu2 * mu2
+        mu1_mu2 = mu1 * mu2
+        sigma1_sq = conv(img1 * img1) - mu1_sq
+        sigma2_sq = conv(img2 * img2) - mu2_sq
+        sigma12 = conv(img1 * img2) - mu1_mu2
+        m = ((2.0 * mu1_mu2 + _C1) * (2.0 * sigma12 + _C2)) / (
+            (mu1_sq + mu2_sq + _C1) * (sigma1_sq + sigma2_sq + _C2))
+        return 1.0 - m.mean()
+
+    def ssim_stacked(x):
+        return 1.0 - L.ssim(x, b)
+
+    report("ssim STACKED fwd+bwd", jax.grad(ssim_stacked), a)
+    report("ssim separate fwd+bwd", jax.grad(ssim_sep), a)
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "stack":
+        main_stack()
+    else:
+        main()
