@@ -116,6 +116,48 @@ def ssim(img1, img2, window_size: int = 11, sigma: float = 1.5, symmetric_window
     return ssim_map.mean()
 
 
+def ssim_band_sum(img1, img2, row_lo, n_rows: int, window_size: int = 11,
+                  sigma: float = 1.5, symmetric_window: bool = False):
+    """SUM of the SSIM map over image rows [row_lo, row_lo + n_rows).
+
+    The pixel-sharded loss building block: each device of a "pixel" axis
+    evaluates the blurs only over its band (+ the window radius of halo
+    rows), and the full-image mean is psum(band sums) / (C*H*W) — instead
+    of every device redundantly blurring the entire gathered frame.
+    Exact: the inputs are zero-padded by the radius before the dynamic
+    band slice, so the band blur sees precisely the zero-padded-SAME
+    neighborhood `ssim` uses; rows at or beyond H contribute zero.
+    row_lo may be traced (e.g. axis_index * n_rows); n_rows is static.
+    """
+    taps = gaussian_1d(window_size, sigma, symmetric_window)
+    r = window_size // 2
+    C, H, W = img1.shape
+    row_lo = jnp.clip(row_lo, 0, H)
+
+    def band(x):
+        xp = jnp.pad(x, ((0, 0), (r, r + n_rows), (0, 0)))
+        return jax.lax.dynamic_slice_in_dim(xp, row_lo, n_rows + 2 * r, 1)
+
+    a = band(img1)
+    b = band(img2)
+    conv = lambda x: _gaussian_blur_shift_add(x, taps)
+    mu1 = conv(a)
+    mu2 = conv(b)
+    mu1_sq = mu1 * mu1
+    mu2_sq = mu2 * mu2
+    mu1_mu2 = mu1 * mu2
+    sigma1_sq = conv(a * a) - mu1_sq
+    sigma2_sq = conv(b * b) - mu2_sq
+    sigma12 = conv(a * b) - mu1_mu2
+    ssim_map = ((2.0 * mu1_mu2 + _C1) * (2.0 * sigma12 + _C2)) / (
+        (mu1_sq + mu2_sq + _C1) * (sigma1_sq + sigma2_sq + _C2)
+    )
+    core = ssim_map[:, r:r + n_rows, :]
+    ridx = row_lo + jnp.arange(n_rows)
+    mask = (ridx < H).astype(core.dtype)[None, :, None]
+    return jnp.sum(core * mask)
+
+
 def psnr(pred, gt):
     """loss_utils.cuh:89-93. Inputs [C, H, W] in [0, 1]."""
     mse = ((pred - gt) ** 2).reshape(pred.shape[0], -1).mean(axis=1)

@@ -248,7 +248,18 @@ def sharded_loss_fn(params_shard: GaussianParams, cameras: Sequence[Camera],
         accs.append(acc)
         overflow = jnp.maximum(overflow, ovf)
         l1 = loss_ops.l1_loss(img, gt_images[i])
-        ss = loss_ops.ssim(img, gt_images[i])
+        # SSIM is PIXEL-SHARDED: the frame is replicated after the gather,
+        # so each device blurs only its row band (+halo) and the mean is
+        # one psum — instead of every device redundantly filtering the
+        # whole image (the dominant non-render cost at 1080p)
+        Hc, Wc = cam.height, cam.width
+        n_pixel = jax.lax.axis_size("pixel")
+        ssim_rows = -(-Hc // n_pixel)
+        ss = jax.lax.psum(
+            loss_ops.ssim_band_sum(img, gt_images[i],
+                                   jax.lax.axis_index("pixel") * ssim_rows,
+                                   ssim_rows),
+            "pixel") / (img.shape[0] * Hc * Wc)
         image_total = image_total + (1.0 - opt_params.lambda_dssim) * l1 + \
             opt_params.lambda_dssim * (1.0 - ss)
         if i == 0:

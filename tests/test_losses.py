@@ -57,3 +57,22 @@ def test_image_loss_combination(rng):
         1 - float(losses.ssim(img, gt))
     )
     assert abs(float(losses.image_loss(img, gt, lam)) - expected) < 1e-6
+
+
+def test_ssim_band_sum_partitions_full_ssim():
+    """Band sums over a row partition reassemble the full-image SSIM mean
+    exactly (the pixel-sharded loss identity), including a partition that
+    overruns H and bands at both zero-padded edges."""
+    import jax.numpy as jnp
+
+    from gslivm_tpu.ops import losses as L
+
+    rng = np.random.default_rng(3)
+    a = jnp.asarray(rng.uniform(size=(3, 29, 40)), jnp.float32)
+    b = jnp.asarray(rng.uniform(size=(3, 29, 40)), jnp.float32)
+    full = float(L.ssim(a, b))
+    for n_dev in (2, 4):
+        rows = -(-29 // n_dev)
+        total = sum(float(L.ssim_band_sum(a, b, k * rows, rows))
+                    for k in range(n_dev))
+        np.testing.assert_allclose(total / (3 * 29 * 40), full, rtol=2e-6)
