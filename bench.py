@@ -44,6 +44,19 @@ BLOCK = (2, 2)           # supertile factor (see ops/binning.py block_x/block_y)
 ITERS = 10
 BASELINE_MRAYS = 30 * WIDTH * HEIGHT / 1e6  # 62.2
 
+# experiment overrides (BENCH_BLOCK="2,4" BENCH_MAXI=... BENCH_SLACK=...
+# BENCH_MAXCH=...): used by the block-shape sweeps; the committed defaults
+# above are the measured-fast production configuration
+import os as _os
+
+if _os.environ.get("BENCH_BLOCK"):
+    BLOCK = tuple(int(v) for v in _os.environ["BENCH_BLOCK"].split(","))
+if _os.environ.get("BENCH_MAXI"):
+    MAX_INSTANCES = int(_os.environ["BENCH_MAXI"])
+if _os.environ.get("BENCH_SLACK"):
+    CAPACITY_SLACK = float(_os.environ["BENCH_SLACK"])
+MAXCH = int(_os.environ.get("BENCH_MAXCH", 16))
+
 
 def main():
     import os
@@ -90,7 +103,7 @@ def main():
             # measured max 7 chunks/tile for this scene; 16 halves twice over
             # the fwd-checkpoint HBM traffic vs the default 64 (the ckpt
             # array is [tiles, max_chunks, npix] and is DMA'd in full)
-            max_chunks_per_tile=16,
+            max_chunks_per_tile=MAXCH,
         )
         return jnp.sum((out.color - gt) ** 2) + 0.1 * jnp.sum(out.acc)
 
@@ -102,7 +115,7 @@ def main():
         means, scales, quats, opac, shs, cam, max_instances=MAX_INSTANCES,
         interpret=not on_tpu, capacity_slack=CAPACITY_SLACK,
         block_x=BLOCK[0], block_y=BLOCK[1],
-        max_chunks_per_tile=16)
+        max_chunks_per_tile=MAXCH)
     assert int(probe.overflow) == 0, (
         f"bench budgets truncate {int(probe.overflow)} instances "
         f"(expansion {int(probe.num_instances)})")
@@ -135,7 +148,7 @@ def main():
     )
     settings = RasterizeSettings(
         backend="pallas" if on_tpu else "naive",
-        max_instances=MAX_INSTANCES, max_chunks_per_tile=16,
+        max_instances=MAX_INSTANCES, max_chunks_per_tile=MAXCH,
         capacity_slack=CAPACITY_SLACK,
         block_x=BLOCK[0], block_y=BLOCK[1])
     optimizer = training.make_optimizer(training.GsOptimParams())

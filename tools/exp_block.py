@@ -1,7 +1,10 @@
 """Experiment: supertile block-shape sweep for the 1080p bench scene.
 
 For each (block_x, block_y) candidate, measures instance expansion and the
-full fwd+bwd step time (generous budgets; overflow printed). Run on TPU.
+full fwd+bwd step time (generous budgets; overflow printed). Run on TPU —
+ALONE: concurrent users of the chip silently corrupt the slope timings
+(docs/kernels.md "Block-shape sweep, revalidated"); validate any
+surprising result with a standalone BENCH_BLOCK=... bench.py run.
 """
 from __future__ import annotations
 
