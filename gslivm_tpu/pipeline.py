@@ -469,11 +469,20 @@ class ConcurrentMapper:
 
     def submit_frame(self, frame: Frame):
         """Enqueue a frame; blocks only when the bounded queue is full
-        (back-pressure, like the reference's mutex-guarded handoff)."""
-        if self._error is not None:
-            raise RuntimeError("ConcurrentMapper worker died") from self._error
+        (back-pressure, like the reference's mutex-guarded handoff). The
+        put polls so a worker death surfaces instead of deadlocking the
+        producer against a full queue nobody will ever drain."""
         self._outstanding += 1
-        self._queue.put(frame)
+        while True:
+            if self._error is not None:
+                self._outstanding -= 1
+                raise RuntimeError(
+                    "ConcurrentMapper worker died") from self._error
+            try:
+                self._queue.put(frame, timeout=0.1)
+                return
+            except _queue.Full:
+                continue
 
     def _run(self):
         try:

@@ -310,3 +310,20 @@ def test_concurrent_mapper_overlaps_and_converges():
     cm2.submit_frame(bad)
     with pytest.raises(RuntimeError):
         cm2.finish()
+
+
+def test_concurrent_mapper_no_deadlock_on_worker_death():
+    """A worker death with a FULL queue must surface to the producer
+    instead of deadlocking submit_frame against a queue nobody drains."""
+    from gslivm_tpu.pipeline import ConcurrentMapper
+
+    mapper = IncrementalMapper(settings=RasterizeSettings(backend="naive"))
+    cm = ConcurrentMapper(mapper, iters_per_frame=1, queue_size=1)
+    bad = "not a frame"
+    with pytest.raises(RuntimeError):
+        # first bad frame kills the worker; subsequent puts must raise
+        # within the poll interval, not block forever
+        for _ in range(20):
+            cm.submit_frame(bad)
+    cm._stop.set()
+    cm._thread.join(timeout=5)
