@@ -90,9 +90,11 @@ def _hlo_overlap_report(compiled_text: str) -> dict:
             compute_since_start = True
     import re
 
+    # HLO text puts the op name after the result type ("%x = f32[..]
+    # all-gather(..)"), so match the op-call form directly
     sync = len(re.findall(
-        r"= (?:all-gather|all-reduce|all-to-all|reduce-scatter|"
-        r"collective-permute)\(", compiled_text))
+        r"\b(?:all-gather|all-reduce|all-to-all|reduce-scatter|"
+        r"collective-permute)(?:-start)?\(", compiled_text))
     return {"async_collectives": n_async,
             "overlapped_pairs": overlapped,
             # CPU lowers collectives synchronously (no -start/-done pairs);
@@ -312,8 +314,10 @@ def _phase_breakdown(mesh, sp, cam, gt, op, cap, args, timed, full_ms):
     # collective share: fwd exchange+merge plus their backward transposes
     # (reverse all_to_all + reduce_scatter == the gradient reduction) —
     # conservatively counted at the same cost as their forward twins
-    comm = ms_ex + (ms_me - ms_re)
-    comm_fraction = round(min(1.0, 2.0 * comm / full_ms), 3)
+    # clamp: at CPU-interpret scale the slope timing can make a cheap
+    # stage's cumulative diff slightly negative
+    comm = max(0.0, ms_ex) + max(0.0, ms_me - ms_re)
+    comm_fraction = round(min(1.0, max(0.0, 2.0 * comm / full_ms)), 3)
     return phases, comm_fraction
 
 
