@@ -169,6 +169,27 @@ def main():
     jax.block_until_ready(p.xyz)
     dt_train = (time.perf_counter() - t0) / ITERS
 
+    # ---- production-shape step: 3 cameras (1 current + 1 delta-depth
+    # history pair — the optimize_vis sampling shape,
+    # lioOptimization.cpp:1627-1653); the v5e-16 FPS arithmetic in
+    # docs/scaling.md divides this across the mesh
+    cam_l = make_camera(np.eye(3), np.asarray([0.05, 0.0, 0.0]), WIDTH,
+                        HEIGHT, fovx=1.2, fovy=0.8)
+    cam_r = make_camera(np.eye(3), np.asarray([0.0, 0.05, 0.0]), WIDTH,
+                        HEIGHT, fovx=1.2, fovy=0.8)
+    gt3 = jnp.concatenate([gt_b, gt_b, gt_b], axis=0)
+    p3, o3, m3 = training.train_step(params, opt_state,
+                                     [cam, cam_l, cam_r], gt3, simi,
+                                     settings=settings, n_history_pairs=1)
+    jax.block_until_ready(p3.xyz)
+    t0 = time.perf_counter()
+    p, o = params, opt_state
+    for _ in range(ITERS):
+        p, o, m3 = training.train_step(p, o, [cam, cam_l, cam_r], gt3, simi,
+                                       settings=settings, n_history_pairs=1)
+    jax.block_until_ready(p.xyz)
+    dt_train3 = (time.perf_counter() - t0) / ITERS
+
     mrays = WIDTH * HEIGHT / dt / 1e6
     print(json.dumps({
         "metric": "rasterizer_fwd_bwd_1080p",
@@ -182,6 +203,8 @@ def main():
             "train_step_ms": round(dt_train * 1e3, 2),
             "train_step_fps": round(1.0 / dt_train, 2),
             "train_step_mrays": round(WIDTH * HEIGHT / dt_train / 1e6, 2),
+            "train_step3_ms": round(dt_train3 * 1e3, 2),
+            "train_step3_fps": round(1.0 / dt_train3, 2),
             "device": str(jax.devices()[0]),
         },
     }))
