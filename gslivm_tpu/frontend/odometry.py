@@ -286,10 +286,19 @@ class Odometry:
 
     def begin_sweep_states(self):
         """Seed the per-sweep IMU state trail with the current filter state
-        (called at the start of each measurement packet)."""
-        t0 = self._last_imu_time if self._last_imu_time is not None else 0.0
-        self.imu_states = [(t0, self.eskf.q.copy(), self.eskf.p.copy(),
-                            self.eskf.v.copy(), np.zeros(3), np.zeros(3))]
+        (called at the start of each measurement packet). Before the first
+        IMU sample there is no real timestamp to anchor the trail — seeding
+        t0=0.0 would make dt = t_point - 0.0 (an absolute timestamp) in the
+        IMU deskew and extrapolate catastrophically, so leave the trail
+        empty; the driver then falls back to constant-velocity compensation
+        (livo.py checks len >= 2). The reference seeds imu_states[0] with a
+        real filter stamp (lioOptimization.cpp:2398)."""
+        if self._last_imu_time is None:
+            self.imu_states = []
+            return
+        self.imu_states = [(self._last_imu_time, self.eskf.q.copy(),
+                            self.eskf.p.copy(), self.eskf.v.copy(),
+                            np.zeros(3), np.zeros(3))]
 
     # ----- IMU path (run loop, 2289-2478) -----
     def add_imu(self, t: float, gyr, acc):

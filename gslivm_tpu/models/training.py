@@ -389,12 +389,20 @@ def _train_step_impl(
 
         d_loss = jnp.zeros(())
         n = len(cameras)
+        # Under the reference gradient contract (depth cotangents dropped at
+        # the rasterizer, rasterizer.cu:79; the silhouette mask enters only
+        # through non-differentiable comparisons) the delta-depth term
+        # contributes IDENTICALLY ZERO parameter gradient — so stop-gradient
+        # its render inputs and skip building the ~2M-pixel warp backward
+        # entirely (the loss VALUE is still computed for metrics/total
+        # parity). With depth_grad=True the term is live and differentiated.
+        sg = (lambda x: x) if settings.depth_grad else jax.lax.stop_gradient
         for k in range(n_history_pairs):
             ia = n - 2 * n_history_pairs + 2 * k
             ib = ia + 1
             d_loss = d_loss + opt_params.lambda_delta_depth_simi * delta_depth_loss(
-                renders[ia].depth, renders[ia].acc, cameras[ia],
-                renders[ib].depth, renders[ib].acc, cameras[ib],
+                sg(renders[ia].depth), sg(renders[ia].acc), cameras[ia],
+                sg(renders[ib].depth), sg(renders[ib].acc), cameras[ib],
             )
 
         total = image_total + s_loss + d_loss

@@ -249,6 +249,9 @@ class IncrementalMapper:
             if not cands:  # window exhausted -> new cycle
                 self._used_curr.clear()
                 cands = list(range(split, n))
+            # randomized non-repeating draw within the cycle, like the
+            # reference's get_random_indices (lioOptimization.cpp:1860-1913)
+            cands = [int(i) for i in self.rng.permutation(cands)]
             curr = cands[: self.cfg.gp.curr_cam_per_iter]
             self._used_curr.update(curr)
         hist_pairs: list[tuple[int, int]] = []
@@ -454,6 +457,11 @@ class ConcurrentMapper:
         self.idle_sleep_s = idle_sleep_s
         self._queue: _queue.Queue = _queue.Queue(maxsize=queue_size)
         self.lock = threading.Lock()
+        # counters are mutated from BOTH threads; a dedicated lock (not
+        # self.lock, which is held across whole mapper calls) keeps the
+        # read-modify-writes atomic without serializing submit_frame
+        # against training
+        self._count_lock = threading.Lock()
         self._stop = threading.Event()
         self._outstanding = 0      # frames submitted, not yet mapped
         self._credits = 0          # train iterations owed
@@ -472,10 +480,12 @@ class ConcurrentMapper:
         (back-pressure, like the reference's mutex-guarded handoff). The
         put polls so a worker death surfaces instead of deadlocking the
         producer against a full queue nobody will ever drain."""
-        self._outstanding += 1
+        with self._count_lock:
+            self._outstanding += 1
         while True:
             if self._error is not None:
-                self._outstanding -= 1
+                with self._count_lock:
+                    self._outstanding -= 1
                 raise RuntimeError(
                     "ConcurrentMapper worker died") from self._error
             try:
@@ -498,8 +508,9 @@ class ConcurrentMapper:
                         self.mapper.add_frame(frame)
                     self.busy_s += _time.perf_counter() - t0
                     self.frames_mapped += 1
-                    self._credits += self.iters_per_frame
-                    self._outstanding -= 1
+                    with self._count_lock:
+                        self._credits += self.iters_per_frame
+                        self._outstanding -= 1
                     did_work = True
                 if (self._credits > 0 and self.mapper.started
                         and self.mapper.cameras):
@@ -507,16 +518,19 @@ class ConcurrentMapper:
                     with self.lock:
                         self.last_metrics = self.mapper.train_iteration()
                     self.busy_s += _time.perf_counter() - t0
-                    self._credits -= 1
+                    with self._count_lock:
+                        self._credits -= 1
                     self.trained += 1
                     did_work = True
                 elif self._credits > 0 and not self.mapper.started:
-                    self._credits = 0  # nothing to train on yet
+                    with self._count_lock:
+                        self._credits = 0  # nothing to train on yet
                 if not did_work:
                     _time.sleep(self.idle_sleep_s)  # 10 ms idle sleep analog
         except BaseException as e:  # surfaced to the producer thread
             self._error = e
-            self._outstanding = 0
+            with self._count_lock:
+                self._outstanding = 0
 
     def finish(self) -> IncrementalMapper:
         """Drain the queue and remaining training credits, stop the worker,

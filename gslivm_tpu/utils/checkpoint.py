@@ -10,11 +10,14 @@ IncrementalMapper.
 
 from __future__ import annotations
 
+import logging
 import os
 import pickle
 
 import jax
 import numpy as np
+
+log = logging.getLogger(__name__)
 
 
 def _device_state(mapper) -> dict:
@@ -35,8 +38,12 @@ def save_mapper(mapper, path: str):
             force=True,
         )
         ckptr.wait_until_finished()
-    except Exception:
-        # orbax unavailable/mismatched: flat numpy fallback
+    except Exception as e:
+        # orbax unavailable/mismatched: flat numpy fallback. Logged loudly —
+        # a silently different on-disk format would surprise a restore that
+        # expects the orbax layout (ADVICE r3).
+        log.warning("orbax checkpoint save failed (%s: %s); falling back to "
+                    "flat-numpy device.npz format", type(e).__name__, e)
         flat, treedef = jax.tree.flatten(_device_state(mapper))
         np.savez(os.path.join(path, "device.npz"),
                  *[np.asarray(x) for x in flat])

@@ -243,7 +243,11 @@ def test_motion_compensation_config_dispatch(rng, monkeypatch):
         base, odometry=dataclasses.replace(base.odometry,
                                            motion_compensation="IMU"))
     _run_small_frontend(cfg_imu, rng)
-    assert calls["imu"] > 0 and calls["const"] == 0, calls
+    # the FIRST packet has no real IMU timestamp to anchor the state trail
+    # yet (begin_sweep_states runs before the packet's IMU samples), so it
+    # falls back to constant-velocity once rather than extrapolating from a
+    # bogus t0=0 seed (ADVICE r3); every later packet deskews via IMU states
+    assert calls["imu"] > 0 and calls["const"] <= 1, calls
 
 
 def test_vio_photometric_runs_in_live_path(rng, monkeypatch):

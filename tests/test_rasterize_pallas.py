@@ -268,11 +268,10 @@ def test_supertile_matches_tile(bx, by, rng):
     for a, b in zip(g1, g2):
         a, b = np.asarray(a), np.asarray(b)
         scale = np.abs(a).max() + 1e-8
-        # supertile and tile paths legitimately sum gradients in different
-        # orders (the mxu-moment backward regroups the pixel sums into
-        # centered-moment combos), so equality is f32-reassociation-tight,
-        # not bit-exact
-        np.testing.assert_allclose(b, a, atol=5e-5 * scale, rtol=5e-4)
+        # supertile and tile paths sum per-pixel gradient contributions in
+        # different orders (one 32x32 program's reduction vs four 16x16
+        # programs'), so equality is f32-reassociation-tight, not bit-exact
+        np.testing.assert_allclose(b, a, atol=1e-5 * scale, rtol=1e-4)
 
 
 def test_skip_depth_grad_matches_full():
