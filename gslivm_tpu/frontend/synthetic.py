@@ -90,6 +90,29 @@ def render_image(camera: Camera, planes: list[Plane]) -> np.ndarray:
     return img
 
 
+def render_depth(camera: Camera, planes: list[Plane]) -> np.ndarray:
+    """Ray-cast ground-truth camera-frame depth [H, W] float32 (inf where
+    no surface is hit). The pinhole rays have z_cam = 1, so the camera-z
+    depth equals the ray parameter t — directly comparable to the
+    rasterizer's depth output (D = sum d*alpha*T with d = view-space z)."""
+    H, W = camera.height, camera.width
+    fx, fy = float(camera.fx), float(camera.fy)
+    cx, cy = (W - 1) / 2.0, (H - 1) / 2.0
+    ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    d_cam = np.stack(
+        [(xs - cx) / fx, (ys - cy) / fy, np.ones_like(xs, np.float64)], axis=-1
+    )
+    R_wc = np.asarray(camera.R_cw).T
+    dirs = (d_cam @ R_wc.T).reshape(-1, 3)
+    origins = np.broadcast_to(np.asarray(camera.cam_center, np.float64),
+                              dirs.shape)
+    best_t = np.full(dirs.shape[0], np.inf)
+    for plane in planes:
+        t, _, _, hit = _intersect(origins, dirs, plane)
+        best_t = np.where(hit & (t < best_t), t, best_t)
+    return best_t.reshape(H, W).astype(np.float32)
+
+
 def sample_surface_points(
     camera: Camera, planes: list[Plane], n: int, rng: np.random.Generator
 ) -> np.ndarray:

@@ -215,11 +215,12 @@ def empty_simi(max_points: int = MAX_SIMI, max_gauss: int = 2048) -> SimiInputs:
     )
 
 
-def delta_depth_warp(depth, cam: Camera, cam_ref: Camera):
-    """calcDeltaSimi (gaussian.cu:116-199): backproject cam's rendered depth,
-    transform into cam_ref, and bilinearly sample the warped-depth image at
-    the reprojected pixel grid (align_corners=True, zero padding).
-    """
+def _delta_warp_fields(depth, cam: Camera, cam_ref: Camera):
+    """The ELEMENTWISE part of calcDeltaSimi: backproject cam's rendered
+    depth, transform into cam_ref. Returns (depth_ref_frame [H,W],
+    gx [H,W], gy [H,W]) — the sample source and normalized sample coords;
+    the (expensive, gather-bound) bilinear sampling is separate so the
+    pixel-sharded loss can band-restrict it."""
     H, W = depth.shape
     ys, xs = jnp.meshgrid(jnp.arange(H, dtype=depth.dtype),
                           jnp.arange(W, dtype=depth.dtype), indexing="ij")
@@ -246,43 +247,70 @@ def delta_depth_warp(depth, cam: Camera, cam_ref: Camera):
     # normalized grid coords, align_corners=True convention
     gx = u / (W - 1) * 2.0 - 1.0
     gy = v / (H - 1) * 2.0 - 1.0
+    return depth_ref_frame, gx.reshape(H, W), gy.reshape(H, W)
 
-    return _grid_sample_2d(depth_ref_frame, gx.reshape(H, W), gy.reshape(H, W))
+
+def delta_depth_warp(depth, cam: Camera, cam_ref: Camera):
+    """calcDeltaSimi (gaussian.cu:116-199): backproject cam's rendered depth,
+    transform into cam_ref, and bilinearly sample the warped-depth image at
+    the reprojected pixel grid (align_corners=True, zero padding).
+    """
+    depth_ref_frame, gx, gy = _delta_warp_fields(depth, cam, cam_ref)
+    return _grid_sample_2d(depth_ref_frame, gx, gy)
 
 
 def _grid_sample_2d(img, gx, gy):
     """torch.grid_sample(mode=bilinear, padding=zeros, align_corners=True).
 
-    Taps gather with FLAT linear indices (y*W + x into img.ravel()) — a
-    2-D `img[yi, xi]` advanced-index gather lowers ~35% slower on TPU
-    (91.6 vs 59.6 ms for the 4 taps at 1080p, tools/
-    microbench_gridsample.py; a single [2,2]-slice gather is 50x WORSE)."""
+    ONE [4, Np] gather instead of four: TPU gather cost is per-INDEX (row
+    count nearly free, docs/kernels.md "Measured instance-op primitives"),
+    so the four bilinear taps ride as four SHIFTED copies of the
+    zero-padded image stacked into one table, fetched by a single flat
+    base index per output pixel. The 2-px pad on every side makes every
+    tap of a clamped base land in-bounds, with genuinely-outside taps
+    reading stored zeros — exactly the torch zero-padding semantics
+    (values pinned by test_grid_sample_matches_torch). Earlier forms,
+    measured at 1080p (tools/microbench_gridsample.py): four 2-D
+    `img[yi, xi]` gathers 91.6 ms, four flat-index gathers 59.6 ms, a
+    single [2,2]-slice gather 50x worse."""
     H, W = img.shape
     x = (gx + 1.0) * 0.5 * (W - 1)
     y = (gy + 1.0) * 0.5 * (H - 1)
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
+    # Safe-where guard: torch returns EXACT 0 when the whole 2x2 footprint
+    # is out of bounds — including inf/NaN coordinates, which the warp
+    # produces at zero-depth (background) pixels (division by a ~0 ref-z).
+    # Without the sanitize-then-mask double where, those coords make
+    # 0 * inf = NaN that poisons the loss (and its VJP); r3 only survived
+    # because XLA's fast-math happened to rewrite it under jit.
+    ok = (x > -1.0) & (x < float(W)) & (y > -1.0) & (y < float(H))
+    x = jnp.where(ok, x, -2.0)
+    y = jnp.where(ok, y, -2.0)
+    # clamp the base tap to [-2, W]: beyond that every tap reads pad zeros,
+    # so the (then-meaningless) bilinear weights multiply exact zeros
+    x0 = jnp.clip(jnp.floor(x), -2.0, float(W))
+    y0 = jnp.clip(jnp.floor(y), -2.0, float(H))
     wx = x - x0
     wy = y - y0
-    flat = img.reshape(-1)
 
-    def tap(yy, xx):
-        inside = (xx >= 0) & (xx <= W - 1) & (yy >= 0) & (yy <= H - 1)
-        xi = jnp.clip(xx, 0, W - 1).astype(jnp.int32)
-        yi = jnp.clip(yy, 0, H - 1).astype(jnp.int32)
-        v = flat[(yi * W + xi).reshape(-1)].reshape(yy.shape)
-        return jnp.where(inside, v, 0.0)
-
-    v00 = tap(y0, x0)
-    v01 = tap(y0, x0 + 1)
-    v10 = tap(y0 + 1, x0)
-    v11 = tap(y0 + 1, x0 + 1)
-    return (
+    Wp = W + 4
+    imgp = jnp.pad(img, ((2, 2), (2, 2)))
+    flat = imgp.reshape(-1)
+    z = lambda k: jnp.zeros((k,), img.dtype)  # noqa: E731
+    table = jnp.stack([
+        flat,                                          # (y0    , x0    )
+        jnp.concatenate([flat[1:], z(1)]),             # (y0    , x0 + 1)
+        jnp.concatenate([flat[Wp:], z(Wp)]),           # (y0 + 1, x0    )
+        jnp.concatenate([flat[Wp + 1:], z(Wp + 1)]),   # (y0 + 1, x0 + 1)
+    ])
+    base = ((y0 + 2.0) * Wp + (x0 + 2.0)).astype(jnp.int32).reshape(-1)
+    v00, v01, v10, v11 = (t.reshape(x.shape) for t in table[:, base])
+    res = (
         v00 * (1 - wx) * (1 - wy)
         + v01 * wx * (1 - wy)
         + v10 * (1 - wx) * wy
         + v11 * wx * wy
     )
+    return jnp.where(ok, res, 0.0)
 
 
 def delta_depth_loss(depth_a, acc_a, cam_a: Camera,
@@ -295,6 +323,34 @@ def delta_depth_loss(depth_a, acc_a, cam_a: Camera,
     inv_ref = loss_ops.inv_depth(depth_b)
     mask = ((acc_a >= 0.5) & (acc_b >= 0.5)).astype(depth_a.dtype)
     return jnp.abs(inv_w * mask - inv_ref * mask).mean()
+
+
+def delta_depth_band_sum(depth_a, acc_a, cam_a: Camera,
+                         depth_b, acc_b, cam_b: Camera,
+                         row_lo, n_rows: int) -> jnp.ndarray:
+    """SUM of the delta-depth gap over output rows [row_lo, row_lo+n_rows).
+
+    The pixel-sharded delta loss building block: the warp's backproject /
+    transform stays full-frame (cheap elementwise — it is the SAMPLE SOURCE
+    for arbitrary reprojected coordinates, so it cannot be banded), but the
+    gather-bound bilinear sampling and the loss reduction run only on this
+    device's band of output rows; the full-image mean is psum(band sums) /
+    (H*W). Exact: sums over disjoint row bands (rows >= H masked)."""
+    H, W = depth_a.shape
+    drf, gx, gy = _delta_warp_fields(depth_a, cam_a, cam_b)
+    row_lo = jnp.clip(row_lo, 0, H)
+
+    def band(x):
+        return jax.lax.dynamic_slice_in_dim(
+            jnp.pad(x, ((0, n_rows), (0, 0))), row_lo, n_rows, 0)
+
+    warped = _grid_sample_2d(drf, band(gx), band(gy))
+    inv_w = loss_ops.inv_depth(warped)
+    inv_ref = loss_ops.inv_depth(band(depth_b))
+    mask = ((band(acc_a) >= 0.5) & (band(acc_b) >= 0.5)).astype(depth_a.dtype)
+    ridx = row_lo + jnp.arange(n_rows)
+    mask = mask * (ridx < H).astype(depth_a.dtype)[:, None]
+    return jnp.sum(jnp.abs(inv_w * mask - inv_ref * mask))
 
 
 # ---------------------------------------------------------------------------

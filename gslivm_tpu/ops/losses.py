@@ -158,6 +158,24 @@ def ssim_band_sum(img1, img2, row_lo, n_rows: int, window_size: int = 11,
     return jnp.sum(core * mask)
 
 
+def l1_band_sum(img1, img2, row_lo, n_rows: int):
+    """SUM of |img1 - img2| over image rows [row_lo, row_lo + n_rows).
+
+    Pixel-sharded L1 building block (sibling of ssim_band_sum): each device
+    of a "pixel" axis reduces only its row band of the replicated frame and
+    the full-image mean is psum(band sums) / (C*H*W). row_lo may be traced;
+    n_rows is static. Rows at or beyond H contribute zero."""
+    C, H, W = img1.shape
+    row_lo = jnp.clip(row_lo, 0, H)
+    a = jax.lax.dynamic_slice_in_dim(
+        jnp.pad(img1, ((0, 0), (0, n_rows), (0, 0))), row_lo, n_rows, 1)
+    b = jax.lax.dynamic_slice_in_dim(
+        jnp.pad(img2, ((0, 0), (0, n_rows), (0, 0))), row_lo, n_rows, 1)
+    ridx = row_lo + jnp.arange(n_rows)
+    mask = (ridx < H).astype(img1.dtype)[None, :, None]
+    return jnp.sum(jnp.abs(a - b) * mask)
+
+
 def psnr(pred, gt):
     """loss_utils.cuh:89-93. Inputs [C, H, W] in [0, 1]."""
     mse = ((pred - gt) ** 2).reshape(pred.shape[0], -1).mean(axis=1)

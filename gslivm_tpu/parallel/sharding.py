@@ -247,18 +247,20 @@ def sharded_loss_fn(params_shard: GaussianParams, cameras: Sequence[Camera],
         depths.append(depth)
         accs.append(acc)
         overflow = jnp.maximum(overflow, ovf)
-        l1 = loss_ops.l1_loss(img, gt_images[i])
-        # SSIM is PIXEL-SHARDED: the frame is replicated after the gather,
-        # so each device blurs only its row band (+halo) and the mean is
-        # one psum — instead of every device redundantly filtering the
-        # whole image (the dominant non-render cost at 1080p)
+        # L1 and SSIM are PIXEL-SHARDED: the frame is replicated after the
+        # gather, so each device reduces/blurs only its row band (+halo for
+        # the SSIM window) and the mean is one psum — instead of every
+        # device redundantly processing the whole image (the dominant
+        # non-render cost at 1080p)
         Hc, Wc = cam.height, cam.width
         n_pixel = jax.lax.axis_size("pixel")
-        ssim_rows = -(-Hc // n_pixel)
+        band_lo = jax.lax.axis_index("pixel") * (-(-Hc // n_pixel))
+        band_n = -(-Hc // n_pixel)
+        l1 = jax.lax.psum(
+            loss_ops.l1_band_sum(img, gt_images[i], band_lo, band_n),
+            "pixel") / (img.shape[0] * Hc * Wc)
         ss = jax.lax.psum(
-            loss_ops.ssim_band_sum(img, gt_images[i],
-                                   jax.lax.axis_index("pixel") * ssim_rows,
-                                   ssim_rows),
+            loss_ops.ssim_band_sum(img, gt_images[i], band_lo, band_n),
             "pixel") / (img.shape[0] * Hc * Wc)
         image_total = image_total + (1.0 - opt_params.lambda_dssim) * l1 + \
             opt_params.lambda_dssim * (1.0 - ss)
@@ -279,11 +281,21 @@ def sharded_loss_fn(params_shard: GaussianParams, cameras: Sequence[Camera],
     for k in range(n_history_pairs):
         ia = n - 2 * n_history_pairs + 2 * k
         ib = ia + 1
-        # depth grads dropped (reference contract); acc is mask-only
-        d_loss = d_loss + opt_params.lambda_delta_depth_simi * \
-            training.delta_depth_loss(
+        # depth grads dropped (reference contract); acc is mask-only.
+        # PIXEL-SHARDED: only the warp's gather-bound bilinear sampling and
+        # the reduction band-restrict (the elementwise backproject is the
+        # sample source and stays full-frame) — ~1/N of the ~20 ms/pair
+        # full-frame warp instead of N replicated copies
+        Hc, Wc = cameras[ia].height, cameras[ia].width
+        n_pixel = jax.lax.axis_size("pixel")
+        band_n = -(-Hc // n_pixel)
+        band_lo = jax.lax.axis_index("pixel") * band_n
+        d_loss = d_loss + opt_params.lambda_delta_depth_simi * jax.lax.psum(
+            training.delta_depth_band_sum(
                 jax.lax.stop_gradient(depths[ia]), accs[ia], cameras[ia],
-                jax.lax.stop_gradient(depths[ib]), accs[ib], cameras[ib])
+                jax.lax.stop_gradient(depths[ib]), accs[ib], cameras[ib],
+                band_lo, band_n),
+            "pixel") / (Hc * Wc)
     total = total + d_loss
 
     # every value below is already identical on all devices (full images +

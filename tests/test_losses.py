@@ -76,3 +76,22 @@ def test_ssim_band_sum_partitions_full_ssim():
         total = sum(float(L.ssim_band_sum(a, b, k * rows, rows))
                     for k in range(n_dev))
         np.testing.assert_allclose(total / (3 * 29 * 40), full, rtol=2e-6)
+
+
+def test_l1_band_sum_partitions_full_l1():
+    """Band sums over a row partition reassemble the full-image L1 mean
+    exactly (the pixel-sharded loss identity), including an overrunning
+    partition."""
+    import jax.numpy as jnp
+
+    from gslivm_tpu.ops import losses as L
+
+    rng = np.random.default_rng(4)
+    a = jnp.asarray(rng.uniform(size=(3, 29, 40)), jnp.float32)
+    b = jnp.asarray(rng.uniform(size=(3, 29, 40)), jnp.float32)
+    full = float(L.l1_loss(a, b))
+    for n_dev in (2, 4, 8):
+        rows = -(-29 // n_dev)
+        total = sum(float(L.l1_band_sum(a, b, k * rows, rows))
+                    for k in range(n_dev))
+        np.testing.assert_allclose(total / (3 * 29 * 40), full, rtol=2e-6)

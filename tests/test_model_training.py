@@ -107,14 +107,27 @@ def test_grid_sample_matches_torch():
     img = rng.uniform(size=(9, 13)).astype(np.float32)
     gx = rng.uniform(-1.3, 1.3, size=(5, 7)).astype(np.float32)
     gy = rng.uniform(-1.3, 1.3, size=(5, 7)).astype(np.float32)
+    # non-finite / far-outside coordinates: the warp produces inf (division
+    # by ~0 ref-z at zero-depth pixels) — torch returns exact 0 there, and
+    # so must we (NOT NaN; the r3 code NaN'd un-jitted and survived under
+    # jit only by fast-math luck)
+    gx[0, 0] = np.inf
+    gy[0, 1] = -np.inf
+    gx[1, 0] = np.nan
+    gx[1, 1] = 1e8
+    gy[1, 1] = -1e8
     ours = np.asarray(training._grid_sample_2d(
         jnp.asarray(img), jnp.asarray(gx), jnp.asarray(gy)))
+    assert np.isfinite(ours).all()
     grid = torch.from_numpy(np.stack([gx, gy], axis=-1))[None]
     theirs = torch.nn.functional.grid_sample(
         torch.from_numpy(img)[None, None], grid,
         mode="bilinear", padding_mode="zeros", align_corners=True,
     )[0, 0].numpy()
-    np.testing.assert_allclose(ours, theirs, atol=1e-6)
+    # torch itself NaNs on the nan-coordinate pixel; everywhere else match
+    fin = np.isfinite(theirs)
+    np.testing.assert_allclose(ours[fin], theirs[fin], atol=1e-6)
+    assert ours[~fin].sum() == 0.0
 
 
 def test_training_improves_psnr(rng):
@@ -155,6 +168,49 @@ def test_training_improves_psnr(rng):
     assert p1 > p0 + 2.0, (p0, p1)
     # n_active untouched by the optimizer
     assert int(params.n_active) == 40
+
+
+def test_delta_depth_grad_dead_under_drop_contract(rng):
+    """With depth_grad=False (the reference drop contract) the delta-depth
+    term carries IDENTICALLY ZERO parameter gradient, so the train step may
+    stop-gradient its inputs: parameter updates must match a run with the
+    delta loss disabled, while the delta metric is still computed. With
+    depth_grad=True the term must be live (updates differ)."""
+    cam_a = make_camera(np.eye(3), np.zeros(3), 64, 48, fovx=1.0, fovy=0.8)
+    cam_b = make_camera(np.eye(3), np.asarray([0.05, 0.0, 0.0]), 64, 48,
+                        fovx=1.0, fovy=0.8)
+    cam_c = make_camera(np.eye(3), np.asarray([0.0, 0.05, 0.0]), 64, 48,
+                        fovx=1.0, fovy=0.8)
+    params = gm.create_from_points(_batch(rng, 40), 3.0, capacity=64)
+    bg = jnp.ones(3)
+    base = RasterizeSettings(backend="naive")
+    gt = training.render_params(params, cam_a, bg, base).color
+    gt3 = jnp.stack([np.asarray(gt)] * 3)
+    params = params.replace(
+        xyz=params.xyz
+        + 0.05 * jnp.asarray(rng.normal(size=params.xyz.shape), jnp.float32))
+    optimizer = training.make_optimizer(GsOptimParams())
+    opt_state = optimizer.init(params)
+    simi = training.empty_simi(max_gauss=64)
+    cams = [cam_a, cam_b, cam_c]
+
+    p_drop, _, m_drop = training.train_step(
+        params, opt_state, cams, gt3, simi, settings=base, n_history_pairs=1)
+    # delta metric still computed under the drop contract
+    assert np.isfinite(float(m_drop.delta))
+    # parameter updates identical to a run with NO delta pairs (zero grad)
+    p_none, _, _ = training.train_step(
+        params, opt_state, cams, gt3, simi, settings=base, n_history_pairs=0)
+    np.testing.assert_array_equal(np.asarray(p_drop.xyz), np.asarray(p_none.xyz))
+    np.testing.assert_array_equal(np.asarray(p_drop.scaling),
+                                  np.asarray(p_none.scaling))
+
+    # with depth_grad=True the delta term is live: updates must differ
+    live = base._replace(depth_grad=True)
+    p_live, _, m_live = training.train_step(
+        params, opt_state, cams, gt3, simi, settings=live, n_history_pairs=1)
+    assert np.isfinite(float(m_live.delta))
+    assert not np.array_equal(np.asarray(p_live.xyz), np.asarray(p_none.xyz))
 
 
 def test_opt_state_growth(rng):
@@ -212,3 +268,24 @@ def test_mark_visible(rng):
     means = jnp.asarray([[0, 0, 5.0], [0, 0, 0.1], [0, 0, -2.0]])
     vis = np.asarray(mark_visible(means, cam))
     assert vis.tolist() == [True, False, False]
+
+
+def test_delta_depth_band_sum_partitions_full_loss(rng):
+    """Band sums over an output-row partition reassemble the full
+    delta-depth mean exactly (the pixel-sharded delta-loss identity)."""
+    H, W = 29, 40
+    cam_a = make_camera(np.eye(3), np.zeros(3), W, H, fovx=1.0, fovy=0.8)
+    cam_b = make_camera(np.eye(3), np.asarray([0.06, 0.02, 0.0]), W, H,
+                        fovx=1.0, fovy=0.8)
+    depth_a = jnp.asarray(rng.uniform(2.0, 8.0, (H, W)), jnp.float32)
+    depth_b = jnp.asarray(rng.uniform(2.0, 8.0, (H, W)), jnp.float32)
+    acc_a = jnp.asarray(rng.uniform(0.0, 1.0, (H, W)), jnp.float32)
+    acc_b = jnp.asarray(rng.uniform(0.0, 1.0, (H, W)), jnp.float32)
+    full = float(training.delta_depth_loss(depth_a, acc_a, cam_a,
+                                           depth_b, acc_b, cam_b))
+    for n_dev in (2, 4, 8):
+        rows = -(-H // n_dev)
+        total = sum(float(training.delta_depth_band_sum(
+            depth_a, acc_a, cam_a, depth_b, acc_b, cam_b, k * rows, rows))
+            for k in range(n_dev))
+        np.testing.assert_allclose(total / (H * W), full, rtol=2e-6, atol=1e-7)
