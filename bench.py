@@ -190,6 +190,55 @@ def main():
     jax.block_until_ready(p.xyz)
     dt_train3 = (time.perf_counter() - t0) / ITERS
 
+    # ---- on-TPU oracle parity gate (VERDICT r3 next #2) -------------------
+    # Every BENCH_r* doubles as a hardware-correctness certificate: render a
+    # small scene with the naive JAX oracle AND the production pallas path
+    # (same supertile 2x2 sorted-layout code path, real compiled kernels,
+    # NOT interpret mode) on this chip, fwd + all 5 parameter grads under
+    # the production depth-grad-drop contract, and assert the worst
+    # (scale-normalized) deviation <= 1e-3. Reference semantics:
+    # src/gs/rasterizer.cu:6-110.
+    from gslivm_tpu.ops import rasterize as R
+
+    pw, ph = 256, 192
+    pn = 2048
+    pmeans = jnp.asarray(rng.normal(0, 1.0, (pn, 3)) + [0, 0, 4.0], jnp.float32)
+    pscales = jnp.asarray(rng.uniform(0.02, 0.08, (pn, 3)), jnp.float32)
+    pq = rng.normal(size=(pn, 4))
+    pquats = jnp.asarray(pq / np.linalg.norm(pq, axis=1, keepdims=True),
+                         jnp.float32)
+    popac = jnp.asarray(rng.uniform(0.2, 0.95, (pn,)), jnp.float32)
+    pshs = jnp.asarray(rng.uniform(-0.3, 0.8, (pn, 1, 3)), jnp.float32)
+    pcam = make_camera(np.eye(3), np.zeros(3), pw, ph, fovx=1.0, fovy=0.8)
+    wc = jnp.asarray(rng.uniform(0.5, 1.5, (3, ph, pw)), jnp.float32)
+    wa = jnp.asarray(rng.uniform(0.5, 1.5, (ph, pw)), jnp.float32)
+
+    def parity_loss(backend_settings):
+        def f(means, scales, quats, opac, shs):
+            out = R.rasterize(means, scales, quats, opac, shs, pcam,
+                              settings=backend_settings)
+            return (jnp.sum(out.color * wc) + jnp.sum(out.acc * wa),
+                    (out.color, out.depth, out.acc))
+        return jax.jit(jax.value_and_grad(f, argnums=(0, 1, 2, 3, 4),
+                                          has_aux=True))
+
+    s_oracle = RasterizeSettings(backend="naive")
+    s_pallas = RasterizeSettings(backend="pallas", max_instances=1 << 16,
+                                 capacity_slack=1.0, max_chunks_per_tile=24,
+                                 block_x=BLOCK[0], block_y=BLOCK[1])
+    (_, fwd_o), g_o = parity_loss(s_oracle)(pmeans, pscales, pquats, popac,
+                                            pshs)
+    (_, fwd_p), g_p = parity_loss(s_pallas)(pmeans, pscales, pquats, popac,
+                                            pshs)
+    parity = 0.0
+    for a, b in zip(list(fwd_o) + list(g_o), list(fwd_p) + list(g_p)):
+        a = np.asarray(jax.device_get(a), np.float64)
+        b = np.asarray(jax.device_get(b), np.float64)
+        scale = max(np.abs(a).max(), 1.0)
+        parity = max(parity, float(np.abs(a - b).max() / scale))
+    assert parity <= 1e-3, (
+        f"on-TPU pallas-vs-oracle parity {parity:.2e} exceeds 1e-3")
+
     mrays = WIDTH * HEIGHT / dt / 1e6
     print(json.dumps({
         "metric": "rasterizer_fwd_bwd_1080p",
@@ -205,6 +254,10 @@ def main():
             "train_step_mrays": round(WIDTH * HEIGHT / dt_train / 1e6, 2),
             "train_step3_ms": round(dt_train3 * 1e3, 2),
             "train_step3_fps": round(1.0 / dt_train3, 2),
+            # worst scale-normalized |pallas - oracle| over fwd outputs +
+            # all parameter grads, measured on THIS chip (hardware parity
+            # certificate; asserted <= 1e-3 above)
+            "parity_max_abs": float(f"{parity:.3e}"),
             "device": str(jax.devices()[0]),
         },
     }))

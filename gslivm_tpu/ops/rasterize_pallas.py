@@ -476,16 +476,26 @@ def _bwd_kernel(cfg: PallasConfig, off_ref, neff_ref, cnt_ref, poff_ref,
         # into polynomial combos of six e-moments, one (CHUNK,NPIX)x(NPIX,6)
         # bf16-split matmul — measured EXACTLY the same bwd-kernel time,
         # 23.1 vs 23.2 ms: the cross-lane reductions are not the
-        # bottleneck. The direct form stays.)
+        # bottleneck.)
+        # r4: the per-instance conic factors (ca, cb, cc — constant across
+        # the pixel lanes) DISTRIBUTE out of the pixel reductions:
+        # sum(d_power*(ca*dx + cb*dy)) = ca*sum(u) + cb*sum(v) with
+        # u = d_power*dx, v = d_power*dy (u, v feed the conic rows too) —
+        # ~12 fewer full-array passes per chunk than the direct polynomial
+        # forms, at f32-reassociation-level numerical difference.
         dx, dy = m["dx"], m["dy"]
         d_op = jnp.where(not_clamped, G, 0.0) * dLda
         d_power = jnp.where(not_clamped, op, 0.0) * dLda * G
+        u = d_power * dx
+        v = d_power * dy
+        su = psum(u)
+        sv = psum(v)
         grads = [
-            psum(d_power * (-(ca * dx + cb * dy))),   # d mean2d.x
-            psum(d_power * (-(cc * dy + cb * dx))),   # d mean2d.y
-            psum(d_power * (-0.5 * dx * dx)),         # d conic a
-            psum(d_power * (-dx * dy)),               # d conic b
-            psum(d_power * (-0.5 * dy * dy)),         # d conic c
+            -(ca * su + cb * sv),                     # d mean2d.x
+            -(cc * sv + cb * su),                     # d mean2d.y
+            -0.5 * psum(u * dx),                      # d conic a
+            -psum(u * dy),                            # d conic b
+            -0.5 * psum(v * dy),                      # d conic c
             psum(d_op),                               # d opacity
             psum(gC0 * w),                            # d color r
             psum(gC1 * w),                            # d color g

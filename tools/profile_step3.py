@@ -114,7 +114,7 @@ def main():
             tot = tot + jnp.sum((o.color - gt) ** 2) + 0.1 * jnp.sum(o.acc)
         return tot
 
-    g3 = jax.grad(render3_loss)
+    g3 = jax.grad(render3_loss, allow_int=True)
     t = device_time_ms(g3, params)
     print(f"render3 (3x fwd+bwd, trivial loss): {t:.1f} ms")
 
@@ -139,6 +139,27 @@ def main():
     print(f"train3 full: {t3:.1f} ms")
     print(f"  => image losses + Adam - trivial: {t3n - t:.1f} ms; "
           f"delta block: {t3 - t3n:.1f} ms")
+
+    # ---- image-loss batching A/B (3 cameras) ---------------------------
+    from gslivm_tpu.ops import losses as L
+
+    lam = 0.2
+    col3 = jnp.asarray(rng.uniform(size=(3, 3, HEIGHT, WIDTH)), jnp.float32)
+
+    def loss_sep(c3):
+        return sum((1 - lam) * L.l1_loss(c3[i], gt3[i])
+                   + lam * (1.0 - L.ssim(c3[i], gt3[i])) for i in range(3))
+
+    def loss_bat(c3):
+        flat = c3.reshape(9, HEIGHT, WIDTH)
+        gflat = gt3.reshape(9, HEIGHT, WIDTH)
+        l1 = jnp.abs(flat - gflat).mean() * 3.0
+        ss = L.ssim(flat, gflat) * 3.0  # channel mean == mean of per-cam
+        return (1 - lam) * l1 + lam * (3.0 - ss)
+
+    ts = device_time_ms(jax.grad(loss_sep), col3)
+    tb = device_time_ms(jax.grad(loss_bat), col3)
+    print(f"image loss 3-cam fwd+bwd: separate {ts:.1f} ms, batched {tb:.1f} ms")
 
     # warp forward alone (fixed depth images)
     depth_a = jnp.asarray(rng.uniform(1, 10, (HEIGHT, WIDTH)), jnp.float32)

@@ -22,8 +22,11 @@ def _run(f, args, n):
     out = None
     for _ in range(n):
         out = f(*args)
-    # force completion: scalar reduce + D2H
-    leaves = jax.tree_util.tree_leaves(out)
+    # force completion: scalar reduce + D2H (skip float0 tangents of int
+    # leaves and empty arrays — the axon fetch chokes on zero-byte buffers)
+    leaves = [l for l in jax.tree_util.tree_leaves(out)
+              if hasattr(l, "dtype") and l.dtype != jax.dtypes.float0
+              and getattr(l, "size", 0)]
     s = sum(jnp.sum(jnp.asarray(l, jnp.float32).ravel()[:16]) for l in leaves)
     float(s)
     return time.perf_counter() - t0
