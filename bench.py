@@ -104,6 +104,9 @@ def main():
             # the fwd-checkpoint HBM traffic vs the default 64 (the ckpt
             # array is [tiles, max_chunks, npix] and is DMA'd in full)
             max_chunks_per_tile=MAXCH,
+            # production kernel variant: n_contrib bookkeeping skipped (the
+            # train path never consumes it; see RasterizeSettings)
+            contrib_stats=False,
         )
         return jnp.sum((out.color - gt) ** 2) + 0.1 * jnp.sum(out.acc)
 
@@ -155,9 +158,15 @@ def main():
     opt_state = optimizer.init(params)
     simi = training.empty_simi(max_gauss=2048)
     gt_b = gt[None]
+    # per-keyframe GT-side SSIM stats, hoisted exactly as the pipeline does
+    # (IncrementalMapper caches them at keyframe staging)
+    from gslivm_tpu.ops import losses as loss_ops
+
+    mu2, s2 = jax.jit(loss_ops.ssim_ref_stats)(gt)
+    stats1 = (mu2[None], s2[None])
 
     p1, o1, m1 = training.train_step(params, opt_state, [cam], gt_b, simi,
-                                     settings=settings)
+                                     settings=settings, gt_stats=stats1)
     jax.block_until_ready(p1.xyz)
     assert int(m1.overflow) == 0, "train-step render overflowed"
 
@@ -165,7 +174,7 @@ def main():
     p, o = params, opt_state
     for _ in range(ITERS):
         p, o, m = training.train_step(p, o, [cam], gt_b, simi,
-                                      settings=settings)
+                                      settings=settings, gt_stats=stats1)
     jax.block_until_ready(p.xyz)
     dt_train = (time.perf_counter() - t0) / ITERS
 
@@ -178,15 +187,18 @@ def main():
     cam_r = make_camera(np.eye(3), np.asarray([0.0, 0.05, 0.0]), WIDTH,
                         HEIGHT, fovx=1.2, fovy=0.8)
     gt3 = jnp.concatenate([gt_b, gt_b, gt_b], axis=0)
+    stats3 = (jnp.concatenate([stats1[0]] * 3), jnp.concatenate([stats1[1]] * 3))
     p3, o3, m3 = training.train_step(params, opt_state,
                                      [cam, cam_l, cam_r], gt3, simi,
-                                     settings=settings, n_history_pairs=1)
+                                     settings=settings, n_history_pairs=1,
+                                     gt_stats=stats3)
     jax.block_until_ready(p3.xyz)
     t0 = time.perf_counter()
     p, o = params, opt_state
     for _ in range(ITERS):
         p, o, m3 = training.train_step(p, o, [cam, cam_l, cam_r], gt3, simi,
-                                       settings=settings, n_history_pairs=1)
+                                       settings=settings, n_history_pairs=1,
+                                       gt_stats=stats3)
     jax.block_until_ready(p.xyz)
     dt_train3 = (time.perf_counter() - t0) / ITERS
 
@@ -225,7 +237,8 @@ def main():
     s_oracle = RasterizeSettings(backend="naive")
     s_pallas = RasterizeSettings(backend="pallas", max_instances=1 << 16,
                                  capacity_slack=1.0, max_chunks_per_tile=24,
-                                 block_x=BLOCK[0], block_y=BLOCK[1])
+                                 block_x=BLOCK[0], block_y=BLOCK[1],
+                                 contrib_stats=False)  # production variant
     (_, fwd_o), g_o = parity_loss(s_oracle)(pmeans, pscales, pquats, popac,
                                             pshs)
     (_, fwd_p), g_p = parity_loss(s_pallas)(pmeans, pscales, pquats, popac,

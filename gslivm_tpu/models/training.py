@@ -404,15 +404,26 @@ def _train_step_impl(
     settings: RasterizeSettings = RasterizeSettings(),
     n_history_pairs: int = 0,
     bg_color=None,
+    gt_stats=None,
 ):
     """One optimize_vis iteration (lioOptimization.cpp:1660-1846).
 
     cameras: tuple of Camera pytrees (static length); the LAST
     2*n_history_pairs cameras form delta-depth pairs (i, i+1), mirroring the
     history sampling of lioOptimization.cpp:1780.
+
+    gt_stats: optional (mu2 [n,3,H,W], sigma2_sq [n,3,H,W]) — the GT-side
+    SSIM statistics precomputed per keyframe with loss_ops.ssim_ref_stats
+    (bit-identical result; removes 2 of 5 blur sweeps per camera from the
+    step). The pipeline caches these per staged keyframe.
     """
     if bg_color is None:
         bg_color = jnp.ones((3,), jnp.float32)  # white_background=true
+
+    # the train step never consumes per-pixel n_contrib (it exists for the
+    # CUDA backward's walk seed, which our checkpointed backward replaces) —
+    # drop its forward-kernel bookkeeping unconditionally here
+    settings = settings._replace(contrib_stats=False)
 
     optimizer = make_optimizer(opt_params)
 
@@ -430,7 +441,9 @@ def _train_step_impl(
             n_inst = jnp.maximum(n_inst, out.num_instances)
             n_chunks = jnp.maximum(n_chunks, out.max_nchunks)
             l1 = loss_ops.l1_loss(out.color, gt_images[i])
-            ss = loss_ops.ssim(out.color, gt_images[i])
+            rs = (None if gt_stats is None
+                  else (gt_stats[0][i], gt_stats[1][i]))
+            ss = loss_ops.ssim(out.color, gt_images[i], ref_stats=rs)
             img_losses.append(
                 (1.0 - opt_params.lambda_dssim) * l1
                 + opt_params.lambda_dssim * (1.0 - ss)

@@ -93,22 +93,47 @@ def _gaussian_blur_shift_add(img, taps: np.ndarray):
                for i in range(k))
 
 
-def ssim(img1, img2, window_size: int = 11, sigma: float = 1.5, symmetric_window: bool = False):
+def ssim_ref_stats(img2, window_size: int = 11, sigma: float = 1.5,
+                   symmetric_window: bool = False):
+    """Precompute the REFERENCE-side SSIM statistics (mu2, sigma2_sq).
+
+    They depend only on img2 — for a training loop where img2 is a ground-
+    truth keyframe reused across many iterations, hoisting these two blur
+    sweeps out of the step removes 2 of the 5 forward blurs with EXACTLY
+    the same ops (bit-identical result, pinned by
+    test_ssim_ref_stats_exact)."""
+    taps = gaussian_1d(window_size, sigma, symmetric_window)
+    mu2 = _gaussian_blur_shift_add(img2, taps)
+    sigma2_sq = _gaussian_blur_shift_add(img2 * img2, taps) - mu2 * mu2
+    return mu2, sigma2_sq
+
+
+def ssim(img1, img2, window_size: int = 11, sigma: float = 1.5,
+         symmetric_window: bool = False, ref_stats=None):
     """Mean SSIM over the image (loss_utils.cuh:43-70). Inputs [C, H, W].
+
+    ref_stats: optional precomputed (mu2, sigma2_sq) from ssim_ref_stats —
+    must have been computed from THIS img2 with the same window.
 
     (r3 negative result: stacking the five blurs into ONE [5C, H, W]
     shift-add sweep measured 2x SLOWER on v5e — 12.6 vs 6.0 ms fwd+bwd at
     1080p: the concatenate materializes the stack and breaks XLA's fusion
-    of each blur into its producer. Five separate fused chains stay.)"""
+    of each blur into its producer. Five separate fused chains stay. r4
+    negative result: riding the 11-tap separable blur on the MXU as a dense
+    band-matrix einsum produced garbage gradients at 1080p under
+    precision=HIGHEST — tools/microbench_ssim2.py.)"""
     taps = gaussian_1d(window_size, sigma, symmetric_window)
     conv = lambda x: _gaussian_blur_shift_add(x, taps)
     mu1 = conv(img1)
-    mu2 = conv(img2)
+    if ref_stats is None:
+        mu2 = conv(img2)
+        sigma2_sq = conv(img2 * img2) - mu2 * mu2
+    else:
+        mu2, sigma2_sq = ref_stats
     mu1_sq = mu1 * mu1
     mu2_sq = mu2 * mu2
     mu1_mu2 = mu1 * mu2
     sigma1_sq = conv(img1 * img1) - mu1_sq
-    sigma2_sq = conv(img2 * img2) - mu2_sq
     sigma12 = conv(img1 * img2) - mu1_mu2
     ssim_map = ((2.0 * mu1_mu2 + _C1) * (2.0 * sigma12 + _C2)) / (
         (mu1_sq + mu2_sq + _C1) * (sigma1_sq + sigma2_sq + _C2)

@@ -51,6 +51,12 @@ class RasterizeSettings(NamedTuple):
     # (block sweep, docs/kernels.md) and within ~1% of 1x1 on tiny scenes
     block_x: int = 2
     block_y: int = 2
+    # per-pixel n_contrib statistics (pallas only). True keeps full parity
+    # with the oracle's n_contrib output; False skips ~5 VPU passes/chunk in
+    # the forward kernel and returns n_contrib as zeros — safe for training
+    # paths, which never consume it (the CUDA forward needs it only to seed
+    # its backward walk, forward.cu:398-405; ours walks neff checkpoints)
+    contrib_stats: bool = True
 
 
 def _resolve_backend(backend: str) -> str:
@@ -87,6 +93,7 @@ def _render_impl(settings: RasterizeSettings, camera, means, scales, quats,
             # with the reference depth-grad-drop contract the backward can
             # skip the depth grad row + its scatter share entirely
             depth_grad=settings.depth_grad,
+            contrib_stats=settings.contrib_stats,
         )
     else:
         raise ValueError(f"unknown rasterizer backend: {backend!r}")

@@ -102,6 +102,12 @@ class PallasConfig(NamedTuple):
     # (rasterizer.cu:79): when the caller drops the depth cotangent anyway,
     # the backward skips the psi depth term, the depth grad row, and its
     # share of the gradient scatter
+    skip_contrib: bool = False  # skip the per-pixel n_contrib bookkeeping
+    # (~5 VPU passes/chunk in the forward). The CUDA forward must always
+    # record last_contributor because its BACKWARD starts from it
+    # (forward.cu:398-405, backward.cu:478); our backward walks neff
+    # checkpoints instead, so n_contrib is pure statistics here — production
+    # paths drop it (n_contrib renders as zeros), tests/tools keep it
 
     @property
     def npix(self) -> int:
@@ -286,9 +292,34 @@ def _fwd_kernel(cfg: PallasConfig, save_ckpt: bool, off_ref, nch_ref,
 
     get_dma = _inst_get_dma(cfg, inst_ref, buf_ref, sem_ref, off)
 
-    @pl.when(nchunks > 0)
+    # Cross-program prefetch: tile t's chunk-0 DMA was started by program
+    # t-1 (see the epilogue below), so its HBM latency hides behind the
+    # predecessor's compute — with ~2 effective chunks/tile the pipeline
+    # never warms up WITHIN a tile, and an exposed first-fetch wait per tile
+    # is the dominant per-chunk overhead (docs/kernels.md r4 roofline).
+    # Only program 0 cold-starts its own first chunk. Within-tile chunk i
+    # rides slot rem(i, 2), so chunk 0 is always slot 0 and the handoff slot
+    # is deterministic; program t's own slot-0 DMAs are all consumed before
+    # its epilogue issues the successor's start (the loop waits every DMA it
+    # starts), so the handoff never races a live buffer.
+    @pl.when((t == 0) & (nchunks > 0))
     def _():
         get_dma(0, 0).start()
+
+    if save_ckpt:
+        # ckpt_scr is double-buffered and its HBM store is ASYNC: program t
+        # writes slot rem(t, 2) and starts the store in its epilogue; the
+        # store drains while t+1 computes (in the other slot) and is waited
+        # here two programs later, just before this program's first store
+        # into the same slot. This removes a blocking ~64 KB-DMA wait per
+        # tile from the forward.
+        cslot = jax.lax.rem(t, 2)
+
+        @pl.when((t >= 2) & (nch_ref[t - 2] > 0))
+        def _():
+            pltpu.make_async_copy(
+                ckpt_scr.at[cslot], ckpt_ref.at[jnp.maximum(t - 2, 0)],
+                csem_ref.at[cslot]).wait()
 
     zeros = jnp.zeros((1, cfg.npix), jnp.float32)
     init = (
@@ -332,7 +363,7 @@ def _fwd_kernel(cfg: PallasConfig, save_ckpt: bool, off_ref, nch_ref,
             # flag in the sign (T >= 1e-4 > 0 always, see _chunk_terms)
             @pl.when(do_work)
             def _():
-                ckpt_scr[pl.ds(i, 1), :] = T * (1.0 - 2.0 * done)
+                ckpt_scr[cslot, pl.ds(i, 1), :] = T * (1.0 - 2.0 * done)
 
         def compute(state):
             T, done, C0, C1, C2, D, A, N = state
@@ -346,10 +377,11 @@ def _fwd_kernel(cfg: PallasConfig, save_ckpt: bool, off_ref, nch_ref,
             C2 = C2 + jnp.sum(w * featT[:, _FB2][:, None], axis=0, keepdims=True)
             D = D + jnp.sum(w * featT[:, _FD][:, None], axis=0, keepdims=True)
             A = A + jnp.sum(w, axis=0, keepdims=True)
-            row = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, cfg.npix), 0)
-            idx = (row + i * CHUNK + 1).astype(jnp.float32)
-            N = jnp.maximum(N, jnp.max(jnp.where(m["contrib"], idx, 0.0),
-                                       axis=0, keepdims=True))
+            if not cfg.skip_contrib:
+                row = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, cfg.npix), 0)
+                idx = (row + i * CHUNK + 1).astype(jnp.float32)
+                N = jnp.maximum(N, jnp.max(jnp.where(m["contrib"], idx, 0.0),
+                                           axis=0, keepdims=True))
             return (m["T_out"], m["done_out"].astype(jnp.float32),
                     C0, C1, C2, D, A, N)
 
@@ -360,6 +392,16 @@ def _fwd_kernel(cfg: PallasConfig, save_ckpt: bool, off_ref, nch_ref,
         0, nchunks, body, init)
     neff = jnp.where(neff < 0.0, nchunks.astype(jnp.float32), neff)
 
+    # epilogue: hand off tile t+1's first chunk (see prologue note). Every
+    # program issues it (a zero-chunk tile still forwards the baton).
+    nt = cfg.grid_x * cfg.grid_y
+    t1 = jnp.minimum(t + 1, nt - 1)
+
+    @pl.when((t + 1 < nt) & (nch_ref[t1] > 0))
+    def _():
+        _inst_get_dma(cfg, inst_ref, buf_ref, sem_ref,
+                      off_ref[t1])(0, 0).start()
+
     out_ref[0, :, :] = jnp.concatenate(
         [C0, C1, C2, D, A, T, N, jnp.full((1, cfg.npix), neff)], axis=0
     )
@@ -367,9 +409,24 @@ def _fwd_kernel(cfg: PallasConfig, save_ckpt: bool, off_ref, nch_ref,
     if save_ckpt:
         @pl.when(nchunks > 0)
         def _():
-            cp = pltpu.make_async_copy(ckpt_scr, ckpt_ref.at[t], csem_ref)
-            cp.start()
-            cp.wait()
+            pltpu.make_async_copy(ckpt_scr.at[cslot], ckpt_ref.at[t],
+                                  csem_ref.at[cslot]).start()
+
+        # the final two programs' stores have no successor to wait them:
+        # drain both here (the other slot first — it was started earlier)
+        last = nt - 1
+        other = jax.lax.rem(jnp.maximum(t - 1, 0), 2)
+
+        @pl.when((t == last) & (t >= 1) & (nch_ref[jnp.maximum(t - 1, 0)] > 0))
+        def _():
+            pltpu.make_async_copy(ckpt_scr.at[other],
+                                  ckpt_ref.at[jnp.maximum(t - 1, 0)],
+                                  csem_ref.at[other]).wait()
+
+        @pl.when((t == last) & (nchunks > 0))
+        def _():
+            pltpu.make_async_copy(ckpt_scr.at[cslot], ckpt_ref.at[t],
+                                  csem_ref.at[cslot]).wait()
 
 
 # ---------------------------------------------------------------------------
@@ -400,14 +457,22 @@ def _bwd_kernel(cfg: PallasConfig, off_ref, neff_ref, cnt_ref, poff_ref,
             wsem_ref.at[slot],
         )
 
-    # Fetch this tile's forward checkpoints (ONE block DMA) and the first
-    # feature chunk; no replay — the forward already saved everything.
+    # This tile's forward checkpoints (ONE block DMA) and the first (i.e.
+    # deepest, neff-1) feature chunk were started by program t-1's epilogue
+    # (cross-program prefetch, same rationale as the forward kernel: with
+    # ~2 effective chunks/tile the exposed per-tile first-fetch latency
+    # dominates). Only program 0 cold-starts its own. The handoff slot
+    # rem(neff-1, 2) is computed identically on both sides; ckpt_scr is a
+    # single buffer — the predecessor issues the overwrite only after its
+    # own loop finished reading it.
+    @pl.when((t == 0) & (neff > 0))
+    def _():
+        pltpu.make_async_copy(ckpt_ref.at[t], ckpt_scr, csem_ref).start()
+        get_dma(jax.lax.rem(neff - 1, 2), neff - 1).start()
+
     @pl.when(neff > 0)
     def _():
-        cp = pltpu.make_async_copy(ckpt_ref.at[t], ckpt_scr, csem_ref)
-        cp.start()
-        get_dma(jax.lax.rem(neff - 1, 2), neff - 1).start()
-        cp.wait()
+        pltpu.make_async_copy(ckpt_ref.at[t], ckpt_scr, csem_ref).wait()
 
     # Cotangents for this tile: rows C0,C1,C2,D,A,T of the fwd output.
     g = g_ref[0]  # (8, NPIX)
@@ -418,6 +483,7 @@ def _bwd_kernel(cfg: PallasConfig, off_ref, neff_ref, cnt_ref, poff_ref,
     gA = g[4:5, :]
     gT = g[5:6, :]
     T_fin = fwd_ref[0, 5:6, :]  # final transmittance from the forward
+    gTT = gT * T_fin  # loop-invariant: hoisted out of the chunk walk
 
     # ---- Reverse chunk walk with suffix-sum carries. ---------------------
     zeros = jnp.zeros((1, cfg.npix), jnp.float32)
@@ -456,7 +522,7 @@ def _bwd_kernel(cfg: PallasConfig, off_ref, neff_ref, cnt_ref, poff_ref,
         one_minus = 1.0 - m["alpha"]
         inv = 1.0 / jnp.maximum(one_minus, 1e-6)
         T_prev = m["T_prev"]
-        dLda = T_prev * psi - (S + gT * T_fin) * inv
+        dLda = T_prev * psi - (S + gTT) * inv
         dLda = jnp.where(m["contrib"], dLda, 0.0)
 
         # min(0.99, .) subgradient gate (deviation from CUDA, see module doc)
@@ -526,6 +592,18 @@ def _bwd_kernel(cfg: PallasConfig, off_ref, neff_ref, cnt_ref, poff_ref,
 
     jax.lax.fori_loop(0, neff, reverse, carry0)
 
+    # epilogue: hand off tile t+1's checkpoint block and deepest chunk (see
+    # prologue note); every program forwards the baton
+    nt = cfg.grid_x * cfg.grid_y
+    t1 = jnp.minimum(t + 1, nt - 1)
+    neff1 = neff_ref[t1]
+
+    @pl.when((t + 1 < nt) & (neff1 > 0))
+    def _():
+        pltpu.make_async_copy(ckpt_ref.at[t1], ckpt_scr, csem_ref).start()
+        _inst_get_dma(cfg, inst_ref, buf_ref, rsem_ref, off_ref[t1])(
+            jax.lax.rem(neff1 - 1, 2), neff1 - 1).start()
+
     # drain outstanding grad writes
     @pl.when(neff >= 1)
     def _():
@@ -556,9 +634,11 @@ def _fwd_call(cfg: PallasConfig, inst, tile_offset, tile_nchunks, cnt,
     if save_ckpt:
         scratch = [
             pltpu.VMEM((2, FEAT, bufw), jnp.float32),
-            pltpu.VMEM((cfg.max_chunks_per_tile, cfg.npix), jnp.float32),
+            # double-buffered: slot rem(t, 2) drains to HBM asynchronously
+            # while program t+1 fills the other slot
+            pltpu.VMEM((2, cfg.max_chunks_per_tile, cfg.npix), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ]
         out_shape = (out_shape, jax.ShapeDtypeStruct(
             (num_tiles, cfg.max_chunks_per_tile, cfg.npix), jnp.float32))
@@ -768,6 +848,7 @@ def render_tiles_raw(
     block_x: int = 1,
     block_y: int = 1,
     depth_grad: bool = True,
+    contrib_stats: bool = True,
 ):
     """Bin + render an already-PREPROCESSED gaussian set to raw tile images.
 
@@ -818,6 +899,7 @@ def render_tiles_raw(
         rect_test=blocked,
         pad_cols=pad_cols,
         skip_depth_grad=not depth_grad,
+        skip_contrib=not contrib_stats,
     )
 
     banded = dynamic_band or tile_band is not None
@@ -875,6 +957,7 @@ def rasterize_pallas(
     block_x: int = 1,
     block_y: int = 1,
     depth_grad: bool = True,
+    contrib_stats: bool = True,
 ) -> RenderOutput:
     """Tile-binned Pallas rasterization, API-compatible with rasterize_naive.
 
@@ -907,7 +990,8 @@ def rasterize_pallas(
         max_chunks_per_tile=max_chunks_per_tile, interpret=interpret,
         tile_band=tile_band, band_rows=band_rows, band_start=band_start,
         tile_cull=tile_cull, capacity_slack=capacity_slack,
-        block_x=block_x, block_y=block_y, depth_grad=depth_grad)
+        block_x=block_x, block_y=block_y, depth_grad=depth_grad,
+        contrib_stats=contrib_stats)
     n_rows, sgrid_x, sgrid_y = layout.n_rows, layout.sgrid_x, layout.sgrid_y
     pw, ph = layout.pw, layout.ph
     dynamic_band = layout.dynamic_band

@@ -37,6 +37,7 @@ from .models import gaussian_model as gm
 from .models import training
 from .models.cameras import Camera
 from .ops import gp3d
+from .ops import losses as loss_ops
 from .ops.rasterize import RasterizeSettings
 
 
@@ -80,6 +81,9 @@ class IncrementalMapper:
         self.cameras: list[Camera] = []
         self.gt_images: list[np.ndarray] = []
         self._gt_device: list[jax.Array] = []  # device-staged GT images
+        # per-keyframe (mu2, sigma2_sq) SSIM reference stats, device-resident
+        self._gt_stats: list[tuple[jax.Array, jax.Array]] = []
+        self._ref_stats_jit = jax.jit(loss_ops.ssim_ref_stats)
         self._last_key_pose: tuple[np.ndarray, np.ndarray] | None = None
         # round-robin visited sets (selected_indices_curr/_hist,
         # lioOptimization.cpp:1571-1590)
@@ -201,6 +205,11 @@ class IncrementalMapper:
             # the image every step (SURVEY §7 hard part 4 — the analog of
             # the reference's thread+queue feed, lioOptimization.cpp:2496)
             self._gt_device.append(jax.device_put(gt))
+            # GT-side SSIM statistics are constant per keyframe: compute
+            # them once at staging (ssim_ref_stats) so every training
+            # iteration touching this keyframe skips 2 of its 5 SSIM blur
+            # sweeps, bit-identically (ops/losses.py)
+            self._gt_stats.append(self._ref_stats_jit(self._gt_device[-1]))
 
         if not self.started and int(self.params.n_active) > self.bootstrap_points:
             self.started = True  # is_gs_started (lioOptimization.cpp:1426-1443)
@@ -296,6 +305,8 @@ class IncrementalMapper:
         cams = [self.cameras[i] for i in cam_idx]
         # device-resident stack: no per-iteration H2D of the GT images
         gts = jnp.stack([self._gt_device[i] for i in cam_idx])
+        gt_stats = (jnp.stack([self._gt_stats[i][0] for i in cam_idx]),
+                    jnp.stack([self._gt_stats[i][1] for i in cam_idx]))
 
         params, opt_state, metrics = self._train_step(
             self.params,
@@ -307,6 +318,7 @@ class IncrementalMapper:
             settings=self.settings,
             n_history_pairs=len(hist_pairs),
             bg_color=self._bg,
+            gt_stats=gt_stats,
         )
         self.params = params
         self.opt_state = opt_state

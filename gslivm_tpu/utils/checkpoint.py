@@ -105,6 +105,10 @@ def load_mapper(mapper, path: str):
     # device from keyframe insertion on; the sidecar stores host copies)
     mapper._gt_device = [jax.device_put(jnp.asarray(g))
                          for g in mapper.gt_images]
+    # derived per-keyframe SSIM reference stats (pipeline.py computes them
+    # at staging; rebuild rather than serialize — they are pure functions
+    # of the GT images)
+    mapper._gt_stats = [mapper._ref_stats_jit(g) for g in mapper._gt_device]
     mapper._last_key_pose = host["last_key_pose"]
     mapper.gpmap.cells = {
         h: _Cell(ijk=ijk, points=pts, variance=var, converged=conv)

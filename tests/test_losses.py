@@ -1,5 +1,6 @@
 """Loss parity tests (reference loss_utils.cuh)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -95,3 +96,58 @@ def test_l1_band_sum_partitions_full_l1():
         total = sum(float(L.l1_band_sum(a, b, k * rows, rows))
                     for k in range(n_dev))
         np.testing.assert_allclose(total / (3 * 29 * 40), full, rtol=2e-6)
+
+
+def test_ssim_ref_stats_exact():
+    """Hoisted GT-side stats (ssim_ref_stats) must reproduce the inline
+    ssim BIT-identically — same ops, just precomputed."""
+    rng = np.random.default_rng(3)
+    a = jnp.asarray(rng.uniform(size=(3, 40, 56)), jnp.float32)
+    b = jnp.asarray(rng.uniform(size=(3, 40, 56)), jnp.float32)
+    inline = jax.jit(losses.ssim)(a, b)
+    stats = jax.jit(losses.ssim_ref_stats)(b)
+    hoisted = jax.jit(lambda x, y, s: losses.ssim(x, y, ref_stats=s))(
+        a, b, stats)
+    assert float(inline) == float(hoisted)
+    # and the img1 gradient path is unchanged (fusion-level reassociation
+    # only — the two programs compile differently around the hoisted stats)
+    g1 = jax.grad(lambda x: losses.ssim(x, b))(a)
+    g2 = jax.grad(lambda x: losses.ssim(x, b, ref_stats=stats))(a)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               atol=1e-8, rtol=1e-6)
+
+
+def test_train_step_gt_stats_equivalence():
+    """train_step with precomputed gt_stats must match the stats-free step
+    exactly (loss and updated params)."""
+    from gslivm_tpu.models import gaussian_model as gm
+    from gslivm_tpu.models import training
+    from gslivm_tpu.models.cameras import make_camera
+    from gslivm_tpu.ops.rasterize import RasterizeSettings
+
+    rng = np.random.default_rng(7)
+    n = 32
+    cam = make_camera(np.eye(3), np.zeros(3), 32, 24, fovx=1.0, fovy=0.8)
+    params = gm.GaussianParams(
+        xyz=jnp.asarray(rng.normal(0, 1, (n, 3)) + [0, 0, 4], jnp.float32),
+        features_dc=jnp.asarray(rng.uniform(-0.3, 0.8, (n, 1, 3)), jnp.float32),
+        features_rest=jnp.zeros((n, 0, 3), jnp.float32),
+        scaling=jnp.log(jnp.asarray(rng.uniform(0.05, 0.2, (n, 3)), jnp.float32)),
+        rotation=jnp.asarray(rng.normal(size=(n, 4)), jnp.float32),
+        opacity=jnp.zeros((n, 1), jnp.float32),
+        n_active=jnp.asarray(n, jnp.int32),
+    )
+    opt = training.make_optimizer(training.GsOptimParams())
+    os0 = opt.init(params)
+    simi = training.empty_simi(max_gauss=64)
+    gt = jnp.asarray(rng.uniform(size=(1, 3, 24, 32)), jnp.float32)
+    settings = RasterizeSettings(backend="naive")
+
+    p_a, _, m_a = training.train_step(params, os0, [cam], gt, simi,
+                                      settings=settings)
+    stats = jax.jit(losses.ssim_ref_stats)(gt[0])
+    p_b, _, m_b = training.train_step(params, os0, [cam], gt, simi,
+                                      settings=settings,
+                                      gt_stats=(stats[0][None], stats[1][None]))
+    assert float(m_a.loss) == float(m_b.loss)
+    np.testing.assert_array_equal(np.asarray(p_a.xyz), np.asarray(p_b.xyz))

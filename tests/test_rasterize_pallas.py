@@ -299,3 +299,37 @@ def test_skip_depth_grad_matches_full():
     for a, b in zip(g_full, g_skip):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    atol=1e-6, rtol=1e-6)
+
+
+def test_skip_contrib_matches_stats():
+    """contrib_stats=False (the production train-path variant) must change
+    NOTHING except n_contrib, which renders as zeros — images and all
+    parameter gradients stay bit-identical (the bookkeeping it skips never
+    feeds the composite)."""
+    rng = np.random.default_rng(11)
+    n = 96
+    cam = _cam(48, 32)
+    means, scales, quats, opac, shs = _scene(n, rng)
+    gt = jnp.asarray(rng.uniform(size=(3, 32, 48)), dtype=jnp.float32)
+
+    def run(stats):
+        def f(means, scales, quats, opac, shs):
+            out = rasterize_pallas(means, scales, quats, opac, shs, cam,
+                                   max_instances=1 << 13, interpret=True,
+                                   contrib_stats=stats)
+            return (jnp.sum((out.color - gt) ** 2) + 0.1 * jnp.sum(out.acc),
+                    out)
+        (_, out), g = jax.value_and_grad(
+            f, argnums=(0, 1, 2, 3, 4), has_aux=True)(
+            means, scales, quats, opac, shs)
+        return out, g
+
+    out_s, g_s = run(True)
+    out_n, g_n = run(False)
+    assert np.asarray(out_s.n_contrib).max() > 0
+    assert np.asarray(out_n.n_contrib).max() == 0
+    for field in ("color", "depth", "acc", "final_T"):
+        np.testing.assert_array_equal(np.asarray(getattr(out_n, field)),
+                                      np.asarray(getattr(out_s, field)))
+    for a, b in zip(g_s, g_n):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
