@@ -26,18 +26,18 @@ import numpy as np
 
 WIDTH, HEIGHT = 1920, 1080
 N_GAUSS = 200_000
-MAX_INSTANCES = 6700 * 128  # NOTE: fitted to THIS exact scene generator —
+MAX_INSTANCES = 6620 * 128  # NOTE: fitted to THIS exact scene generator —
 # re-measure via tools/profile_stages.py whenever the scene changes, or the
 # overflow==0 probe below will abort the run (by design: budgets must stay
-# lossless). 857.6k; measured supertile-2x2 expansion for
+# lossless). 847.4k; measured supertile-2x2 expansion for
 # this scene is 846,230 (tools/profile_stages.py) — the CUDA reference
-# allocates exactly num_rendered, so a ~1% static headroom is the fair TPU
-# analog. Every instance-space op (pack, kernel grad writes, and above all
-# the ~15 ns/index gradient scatter-add) scales with this budget + slack;
-# overflow is counted (and asserted zero below), never crashed on.
-CAPACITY_SLACK = 0.2  # CHUNK-padding headroom: kept-after-cull is 755.6k
-# across 6,938 chunks => 888,064 padded slots, comfortably under
-# MAX_INSTANCES + 0.2 * num_tiles * 127 = 909k. Lossless for this scene
+# allocates exactly num_rendered, so a ~0.1% static headroom is the fair
+# TPU analog. Every instance-space op (pack, kernel grad writes, and above
+# all the ~15 ns/index gradient scatter-add) scales with this budget +
+# slack; overflow is counted (and asserted zero below), never crashed on.
+CAPACITY_SLACK = 0.17  # CHUNK-padding headroom: kept-after-cull is 755.6k
+# across 6,938 chunks => 888,064 padded slots, under
+# MAX_INSTANCES + 0.17 * num_tiles * 127 = 891.4k. Lossless for this scene
 # (overflow == 0 asserted); a denser scene auto-escalates via the
 # rasterize() budget growth path.
 BLOCK = (2, 2)           # supertile factor (see ops/binning.py block_x/block_y)
