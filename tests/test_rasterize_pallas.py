@@ -333,3 +333,39 @@ def test_skip_contrib_matches_stats():
                                       np.asarray(getattr(out_s, field)))
     for a, b in zip(g_s, g_n):
         np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+
+
+def test_sparse_scene_empty_tile_handoff():
+    """Scene clustered into one corner: most tiles bin ZERO chunks. The
+    cross-program prefetch forwards the first-chunk baton through runs of
+    empty tiles (every program issues the successor's start regardless of
+    its own chunk count) — images and grads must still match the oracle."""
+    rng = np.random.default_rng(17)
+    n = 48
+    cam = _cam(128, 96)
+    means, scales, quats, opac, shs = _scene(n, rng, spread=0.25, z0=5.0,
+                                             scale_hi=0.08)
+    # push the cluster toward the upper-left corner of the frame
+    means = means + jnp.asarray([-1.5, -1.1, 0.0], jnp.float32)
+    gt = jnp.asarray(rng.uniform(size=(3, 96, 128)), dtype=jnp.float32)
+
+    def loss_with(backend):
+        def f(means, scales, quats, opac, shs):
+            if backend == "pallas":
+                out = rasterize_pallas(means, scales, quats, opac, shs, cam,
+                                       max_instances=1 << 13, interpret=True)
+            else:
+                out = rasterize_naive(means, scales, quats, opac, shs, cam)
+            return jnp.sum((out.color - gt) ** 2) + 0.1 * jnp.sum(out.acc)
+        return f
+
+    v_o, g_o = jax.value_and_grad(loss_with("naive"),
+                                  argnums=(0, 1, 2, 3, 4))(
+        means, scales, quats, opac, shs)
+    v_p, g_p = jax.value_and_grad(loss_with("pallas"),
+                                  argnums=(0, 1, 2, 3, 4))(
+        means, scales, quats, opac, shs)
+    np.testing.assert_allclose(float(v_p), float(v_o), rtol=1e-5)
+    for a, b in zip(g_o, g_p):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-5, rtol=2e-4)
