@@ -44,6 +44,17 @@ class GsOptimParams:
     # disables (exact reference behavior: the map only ever grows).
     prune_interval: int = 500
     prune_min_opacity: float = 0.005
+    # Optional max-scale prune criterion (world units; 0 disables — the
+    # parity default). Long STATIC optimization runs exhibit the classic
+    # 3DGS runaway-blob failure: a few gaussians grow exponentially in
+    # scale (measured: max activated scale 0.3 -> 44 m over iters 800-1600
+    # at 960x600, tools/quality_bench.py r4 diagnosis) and occlude the
+    # scene, degrading PSNR after its peak. The reference never faces this
+    # regime — its training window rides a moving sensor stream — and its
+    # prune_optimizer is never called at all; this knob lets offline
+    # convergence runs cull blobs the way original 3DGS prunes
+    # world-size outliers.
+    prune_max_scale: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

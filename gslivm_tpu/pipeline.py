@@ -397,12 +397,15 @@ class IncrementalMapper:
             self.budget_refits += 1
 
     def prune_map(self, min_opacity: float | None = None) -> int:
-        """Drop low-opacity gaussians; compact params + Adam state with the
-        same permutation and remap the hash->index registry. Returns the
-        number of gaussians dropped."""
+        """Drop low-opacity (and, when prune_max_scale > 0, runaway-scale)
+        gaussians; compact params + Adam state with the same permutation
+        and remap the hash->index registry. Returns the number dropped."""
         mo = self.cfg.gs.prune_min_opacity if min_opacity is None else min_opacity
         keep = (np.asarray(self.params.get_opacity()[:, 0]) >= mo) \
             & np.asarray(self.params.active_mask())
+        ms = self.cfg.gs.prune_max_scale
+        if ms > 0:
+            keep &= np.asarray(self.params.get_scaling()).max(axis=1) <= ms
         dropped = int(self.params.n_active) - int(keep.sum())
         if dropped == 0:
             return 0

@@ -378,3 +378,48 @@ def test_round_robin_trains_every_static_camera():
     after = all_psnrs()
     gains = [a - b for a, b in zip(after, before)]
     assert min(gains) > 0.3, (before, after)
+
+
+def test_prune_max_scale_drops_runaway_blobs():
+    """With prune_max_scale > 0, gaussians whose activated scale exceeds
+    the threshold are pruned even at full opacity (the offline-run
+    runaway-blob guard, config.py GsOptimParams.prune_max_scale); with the
+    parity default 0 they survive."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from gslivm_tpu.config import GpParams, GsOptimParams
+
+    def build(ms):
+        cfg = dataclasses.replace(
+            Config(), gp=GpParams(grid=0.5),
+            gs=GsOptimParams(prune_interval=0, prune_max_scale=ms))
+        frames = synthetic.make_sequence(n_frames=2, width=48, height=36,
+                                         points_per_frame=4000)
+        mapper = IncrementalMapper(
+            config=cfg, settings=RasterizeSettings(backend="naive"),
+            bootstrap_points=200, initial_capacity=4096)
+        for fr in frames:
+            mapper.add_frame(fr)
+        return mapper
+
+    mapper = build(0.5)
+    n0 = int(mapper.params.n_active)
+    sc = np.array(mapper.params.scaling)
+    blobs = [0, 5, 9]
+    sc[blobs, 0] = np.log(3.0)  # 3 m >> 0.5 m threshold
+    mapper.params = mapper.params.replace(scaling=jnp.asarray(sc))
+    # opacity healthy: the opacity criterion alone would keep them
+    assert (np.asarray(mapper.params.get_opacity()[blobs, 0]) > 0.01).all()
+    assert mapper.prune_map() == len(blobs)
+    assert int(mapper.params.n_active) == n0 - len(blobs)
+    assert float(np.asarray(
+        mapper.params.get_scaling()[:n0 - len(blobs)]).max()) <= 0.5
+
+    # parity default: scale criterion off, blobs survive
+    mapper2 = build(0.0)
+    sc2 = np.array(mapper2.params.scaling)
+    sc2[blobs, 0] = np.log(3.0)
+    mapper2.params = mapper2.params.replace(scaling=jnp.asarray(sc2))
+    assert mapper2.prune_map() == 0

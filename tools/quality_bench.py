@@ -53,13 +53,18 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from gslivm_tpu.config import Config, GpParams
+    from gslivm_tpu.config import Config, GpParams, GsOptimParams
     from gslivm_tpu.frontend import synthetic
     from gslivm_tpu.ops import losses as loss_ops
     from gslivm_tpu.ops.rasterize import RasterizeSettings
     from gslivm_tpu.pipeline import IncrementalMapper
 
-    cfg = Config(gp=GpParams(grid=args.grid))
+    # offline STATIC optimization: enable the max-scale prune criterion
+    # (config.py GsOptimParams.prune_max_scale) — without it a few
+    # gaussians blow up exponentially in scale after ~700 iters and occlude
+    # the scene (measured r4: max scale 0.3 -> 44 m, PSNR 25.7 -> 19)
+    cfg = Config(gp=GpParams(grid=args.grid),
+                 gs=GsOptimParams(prune_interval=100, prune_max_scale=0.5))
     frames = synthetic.make_sequence(
         n_frames=args.keyframes, width=args.width, height=args.height,
         points_per_frame=args.points_per_frame)
@@ -97,7 +102,13 @@ def main():
         if i % args.curve_every == 0:
             p = sampled_psnr()
             curve.append((i, p))
+            sc = np.asarray(jnp.exp(mapper.params.scaling[
+                :int(mapper.params.n_active)]))
             print(f"iter {i}: psnr {p:.2f} loss {float(m.loss):.4f} "
+                  f"(img {float(m.image_loss):.4f} simi {float(m.simi):.4f} "
+                  f"delta {float(m.delta):.4f}) "
+                  f"scale mean {sc.mean():.4f} p99 "
+                  f"{np.percentile(sc, 99):.3f} max {sc.max():.3f} "
                   f"overflow {int(m.overflow)}", flush=True)
     t_train = time.time() - t0
 
