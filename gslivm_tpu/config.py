@@ -36,6 +36,17 @@ class GsOptimParams:
     empty_iterations: int = 200
     adam_eps: float = 1e-15  # gaussian.cu:421-427
     spatial_lr_scale: float = 1.0
+    # Optional LR decay horizon (steps; 0 disables — the parity default:
+    # the reference DEFINES Expon_lr_func (general_utils.cuh:49-83) with
+    # position_lr_init/final fields but never constructs it, so its live
+    # path runs constant LRs). When > 0, the xyz group log-lerps
+    # position_lr_init -> position_lr_final and the scaling group
+    # scaling_lr -> scaling_lr_final over this many steps — needed for
+    # long STATIC optimization runs, where constant position/scale LRs
+    # keep the geometry oscillating between per-camera fits after
+    # convergence (tools/quality_bench.py r4 diagnosis).
+    lr_max_steps: int = 0
+    scaling_lr_final: float = 0.0025
     # Pruning lifecycle (capability completion of the reference's
     # never-called prune_optimizer, gaussian.cu:430): every prune_interval
     # training iterations the mapper drops gaussians whose activated

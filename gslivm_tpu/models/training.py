@@ -101,11 +101,38 @@ _GROUP_LR = {
 }
 
 
+def _log_lerp_schedule(init: float, final: float, max_steps: int):
+    """Expon_lr's log-lerped decay as an optax schedule (the delay branch
+    is omitted: lr_delay_steps is 0 everywhere in the reference configs)."""
+    def sched(step):
+        t = jnp.clip(step / max_steps, 0.0, 1.0)
+        return jnp.exp(jnp.log(init) * (1.0 - t) + jnp.log(final) * t)
+    return sched
+
+
 def make_optimizer(params: GsOptimParams) -> optax.GradientTransformation:
-    """Six Adam groups with eps=1e-15 (gaussian.cu:396-428)."""
+    """Six Adam groups with eps=1e-15 (gaussian.cu:396-428).
+
+    With lr_max_steps > 0 (config.py — OFF by default, reference parity)
+    the xyz and scaling groups ride Expon_lr-style log-lerped schedules
+    instead of constants."""
+    def lr_for(name):
+        if params.lr_max_steps > 0:
+            if name == "xyz" and params.position_lr_final != params.position_lr_init:
+                return _log_lerp_schedule(
+                    params.position_lr_init * params.spatial_lr_scale,
+                    params.position_lr_final * params.spatial_lr_scale,
+                    params.lr_max_steps)
+            if name == "scaling" and params.scaling_lr_final != params.scaling_lr:
+                return _log_lerp_schedule(
+                    params.scaling_lr * params.spatial_lr_scale,
+                    params.scaling_lr_final * params.spatial_lr_scale,
+                    params.lr_max_steps)
+        return _GROUP_LR[name](params)
+
     transforms = {
-        name: optax.adam(learning_rate=lr_fn(params), eps=params.adam_eps)
-        for name, lr_fn in _GROUP_LR.items()
+        name: optax.adam(learning_rate=lr_for(name), eps=params.adam_eps)
+        for name in _GROUP_LR
     }
     transforms["frozen"] = optax.set_to_zero()
     labels = GaussianParams(

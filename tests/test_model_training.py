@@ -289,3 +289,37 @@ def test_delta_depth_band_sum_partitions_full_loss(rng):
             depth_a, acc_a, cam_a, depth_b, acc_b, cam_b, k * rows, rows))
             for k in range(n_dev))
         np.testing.assert_allclose(total / (H * W), full, rtol=2e-6, atol=1e-7)
+
+
+def test_lr_decay_schedule_optional():
+    """lr_max_steps > 0 log-lerps the xyz and scaling LRs (the Expon_lr
+    the reference defines but never constructs); the default keeps the
+    reference's constant-LR behavior bit-for-bit."""
+    import optax
+
+    from gslivm_tpu.config import GsOptimParams
+
+    n = 8
+    params = gm.create_empty(n, 0).replace(n_active=jnp.asarray(n, jnp.int32))
+    grads = jax.tree.map(jnp.ones_like, params).replace(
+        n_active=jnp.zeros((), jnp.float32))
+
+    def step_sizes(p, n_steps):
+        opt = training.make_optimizer(p)
+        st = opt.init(params)
+        sizes = []
+        for _ in range(n_steps):
+            upd, st = opt.update(grads, st, params)
+            sizes.append((float(jnp.abs(upd.xyz).max()),
+                          float(jnp.abs(upd.features_dc).max())))
+        return sizes
+
+    const = step_sizes(GsOptimParams(), 3)
+    assert abs(const[0][0] - const[-1][0]) < 1e-7  # constant xyz lr
+
+    dec = step_sizes(GsOptimParams(lr_max_steps=4, position_lr_final=1e-6,
+                                   scaling_lr_final=1e-6), 4)
+    xyz_sizes = [s[0] for s in dec]
+    assert xyz_sizes[0] > xyz_sizes[-1] * 3  # decayed hard
+    feat_sizes = [s[1] for s in dec]
+    assert abs(feat_sizes[0] - feat_sizes[-1]) < 1e-7  # others constant

@@ -37,6 +37,8 @@ def main():
     ap.add_argument("--grid", type=float, default=0.12)
     ap.add_argument("--curve-every", type=int, default=50)
     ap.add_argument("--psnr-floor", type=float, default=25.0)
+    ap.add_argument("--pos-lr-final", type=float, default=5e-5)
+    ap.add_argument("--scale-lr-final", type=float, default=2.5e-4)
     ap.add_argument("--out", default=None)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -64,7 +66,15 @@ def main():
     # gaussians blow up exponentially in scale after ~700 iters and occlude
     # the scene (measured r4: max scale 0.3 -> 44 m, PSNR 25.7 -> 19)
     cfg = Config(gp=GpParams(grid=args.grid),
-                 gs=GsOptimParams(prune_interval=100, prune_max_scale=0.5))
+                 gs=GsOptimParams(
+                     prune_interval=100, prune_max_scale=0.5,
+                     # offline convergence needs the (reference-defined,
+                     # never-constructed) Expon_lr decay: constant LRs keep
+                     # geometry oscillating between per-camera fits after
+                     # ~700 iters (PSNR 25.7 -> 19 measured without decay)
+                     lr_max_steps=args.iters,
+                     position_lr_final=args.pos_lr_final,
+                     scaling_lr_final=args.scale_lr_final))
     frames = synthetic.make_sequence(
         n_frames=args.keyframes, width=args.width, height=args.height,
         points_per_frame=args.points_per_frame)
