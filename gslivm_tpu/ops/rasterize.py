@@ -55,7 +55,9 @@ class RasterizeSettings(NamedTuple):
     # with the oracle's n_contrib output; False skips ~5 VPU passes/chunk in
     # the forward kernel and returns n_contrib as zeros — safe for training
     # paths, which never consume it (the CUDA forward needs it only to seed
-    # its backward walk, forward.cu:398-405; ours walks neff checkpoints)
+    # its backward walk, forward.cu:398-405; ours walks neff checkpoints).
+    # NOTE: training.train_step force-overrides this to False — to inspect
+    # n_contrib, render outside the train step (training.render_params)
     contrib_stats: bool = True
 
 

@@ -42,6 +42,14 @@ only for near-opaque splats.
 
 Gradient contract (which outputs get cotangents) is enforced one level up
 in `rasterize.py` (depth-grad drop parity).
+
+SEQUENTIAL-GRID INVARIANT: both kernels' cross-program handoffs (the
+instance chunk-0 DMA baton, the forward's double-buffered ckpt_scr drain,
+and the backward's single-buffer ckpt_scr overwrite) are correct ONLY
+because the 1-D grid executes its programs strictly in order on one
+TensorCore (the default 'arbitrary' dimension semantics — no
+dimension_semantics=('parallel',), no megacore grid splitting). Any future
+parallelization of the grid dimension must first remove these handoffs.
 """
 
 from __future__ import annotations
@@ -315,7 +323,7 @@ def _fwd_kernel(cfg: PallasConfig, save_ckpt: bool, off_ref, nch_ref,
         # tile from the forward.
         cslot = jax.lax.rem(t, 2)
 
-        @pl.when((t >= 2) & (nch_ref[t - 2] > 0))
+        @pl.when((t >= 2) & (nch_ref[jnp.maximum(t - 2, 0)] > 0))
         def _():
             pltpu.make_async_copy(
                 ckpt_scr.at[cslot], ckpt_ref.at[jnp.maximum(t - 2, 0)],

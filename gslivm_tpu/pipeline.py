@@ -208,7 +208,11 @@ class IncrementalMapper:
             # GT-side SSIM statistics are constant per keyframe: compute
             # them once at staging (ssim_ref_stats) so every training
             # iteration touching this keyframe skips 2 of its 5 SSIM blur
-            # sweeps, bit-identically (ops/losses.py)
+            # sweeps, bit-identically (ops/losses.py). HBM cost: two extra
+            # [3,H,W] f32 arrays per keyframe (3x the GT image itself, ~20
+            # MB/keyframe at 1080p), growing with keyframe count — if very
+            # long runs ever pressure HBM, cap this cache to the sampling
+            # working set and recompute for rarely visited keyframes
             self._gt_stats.append(self._ref_stats_jit(self._gt_device[-1]))
 
         if not self.started and int(self.params.n_active) > self.bootstrap_points:

@@ -21,18 +21,25 @@ def main(argv=None):
     sub = ap.add_subparsers(dest="cmd", required=True)
     p = sub.add_parser("split")
     p.add_argument("dir")
+    p.add_argument("--lpips", action="store_true",
+                   help="require LPIPS (errors out if the optional `lpips` "
+                        "torch package + pretrained weights are unavailable; "
+                        "without this flag mean_lpips reports null)")
     p = sub.add_parser("dirs")
     p.add_argument("render_dir")
     p.add_argument("gt_dir")
+    p.add_argument("--lpips", action="store_true",
+                   help="require LPIPS (errors out if unavailable)")
     p = sub.add_parser("depth")
     p.add_argument("a")
     p.add_argument("b")
     args = ap.parse_args(argv)
 
     if args.cmd == "split":
-        out = metrics.evaluate_dir(args.dir)
+        out = metrics.evaluate_dir(args.dir, lpips_required=args.lpips)
     elif args.cmd == "dirs":
-        out = metrics.evaluate_dirs(args.render_dir, args.gt_dir)
+        out = metrics.evaluate_dirs(args.render_dir, args.gt_dir,
+                                    lpips_required=args.lpips)
     else:
         out = {"inverse_depth_l1": metrics.inverse_depth_l1(
             np.load(args.a), np.load(args.b))}

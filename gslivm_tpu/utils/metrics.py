@@ -74,12 +74,15 @@ def _to_chw(img) -> jnp.ndarray:
 _LPIPS_MODEL = None  # lazily constructed torch-lpips net (or False if absent)
 
 
-def lpips_pair(render_chw, gt_chw):
+def lpips_pair(render_chw, gt_chw, required: bool = False):
     """LPIPS via the optional torch `lpips` package (the reference's
     offline metric triple is PSNR/SSIM/LPIPS, python/evaluate_image.py:7,30
-    with lpips.LPIPS(net='alex')). The package needs pretrained weights, so
-    it is an OPTIONAL dependency: returns None when `lpips` (or torch) is
-    not importable — callers report null, never fake a number."""
+    with lpips.LPIPS(net='alex')). The metric NEEDS the package's
+    pretrained AlexNet + calibration weights — there is no meaningful
+    torch-free fallback — so it is an OPTIONAL dependency: returns None
+    when `lpips` (or torch) is not importable, and callers report null
+    rather than a fake number. With required=True an unavailable backend
+    raises instead (the CLI's --lpips contract: loud, never silent)."""
     global _LPIPS_MODEL
     if _LPIPS_MODEL is None:
         try:
@@ -90,6 +93,12 @@ def lpips_pair(render_chw, gt_chw):
         except Exception:
             _LPIPS_MODEL = False
     if _LPIPS_MODEL is False:
+        if required:
+            raise RuntimeError(
+                "LPIPS is unsupported in this environment: it requires the "
+                "optional `lpips` torch package and its pretrained AlexNet "
+                "weights (pip install lpips, needs network for the weight "
+                "download). PSNR/SSIM/L1 remain available.")
         return None
     import torch
 
@@ -100,7 +109,8 @@ def lpips_pair(render_chw, gt_chw):
         return float(_LPIPS_MODEL(a, b).item())
 
 
-def image_pair_metrics(render, gt, with_lpips: bool = False) -> dict:
+def image_pair_metrics(render, gt, with_lpips: bool = False,
+                       lpips_required: bool = False) -> dict:
     r, g = _to_chw(render), _to_chw(gt)
     out = {
         "psnr": float(loss_ops.psnr(r, g)),
@@ -108,7 +118,8 @@ def image_pair_metrics(render, gt, with_lpips: bool = False) -> dict:
         "l1": float(loss_ops.l1_loss(r, g)),
     }
     if with_lpips:
-        out["lpips"] = lpips_pair(np.asarray(r), np.asarray(g))
+        out["lpips"] = lpips_pair(np.asarray(r), np.asarray(g),
+                                  required=lpips_required)
     return out
 
 
@@ -133,25 +144,27 @@ def _summarize(metrics_list: list[dict]) -> dict:
     }
 
 
-def evaluate_dir(path: str) -> dict:
+def evaluate_dir(path: str, lpips_required: bool = False) -> dict:
     """evaluate_image.py over a directory of side-by-side PNGs."""
     ms = []
     for name in sorted(os.listdir(path)):
         if not name.endswith(".png"):
             continue
         render, gt = split_side_by_side(load_png(os.path.join(path, name)))
-        ms.append(image_pair_metrics(render, gt, with_lpips=True))
+        ms.append(image_pair_metrics(render, gt, with_lpips=True,
+                                     lpips_required=lpips_required))
     return _summarize(ms)
 
 
-def evaluate_dirs(render_dir: str, gt_dir: str) -> dict:
+def evaluate_dirs(render_dir: str, gt_dir: str,
+                  lpips_required: bool = False) -> dict:
     """evaluate_no_split.py: metrics over separate renders/ and gt/ dirs,
     matched by sorted filename."""
     rs = sorted(n for n in os.listdir(render_dir) if n.endswith(".png"))
     gs = sorted(n for n in os.listdir(gt_dir) if n.endswith(".png"))
     ms = [image_pair_metrics(load_png(os.path.join(render_dir, rn)),
                              load_png(os.path.join(gt_dir, gn)),
-                             with_lpips=True)
+                             with_lpips=True, lpips_required=lpips_required)
           for rn, gn in zip(rs, gs)]
     return _summarize(ms)
 

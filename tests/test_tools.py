@@ -203,6 +203,20 @@ def test_evaluate_dirs(tmp_path, rng):
     assert out["mean_l1"] < 1e-6
 
 
+def test_lpips_required_fails_loudly(tmp_path, rng):
+    """--lpips contract: when the optional `lpips` package (or its
+    pretrained weights) is unavailable, asking for the metric must RAISE
+    with a clear message — never silently report null (VERDICT r4 #8)."""
+    from gslivm_tpu.utils import metrics
+
+    a = rng.random((3, 16, 16)).astype(np.float32)
+    if metrics.lpips_pair(a, a) is None:  # backend absent in this env
+        with pytest.raises(RuntimeError, match="LPIPS is unsupported"):
+            metrics.lpips_pair(a, a, required=True)
+    else:  # backend present: required must succeed and agree
+        assert metrics.lpips_pair(a, a, required=True) is not None
+
+
 def test_watchdog_stall_detection():
     """heartHandler analog (lioOptimization.cpp:236,760-765): stall fires
     only after mapping started AND a full period passed with no data."""
