@@ -19,6 +19,7 @@ lossless for the measured scene, never silently truncating.
 
 from __future__ import annotations
 
+import functools
 import json
 import time
 
@@ -56,6 +57,11 @@ if _os.environ.get("BENCH_MAXI"):
 if _os.environ.get("BENCH_SLACK"):
     CAPACITY_SLACK = float(_os.environ["BENCH_SLACK"])
 MAXCH = int(_os.environ.get("BENCH_MAXCH", 16))
+# compacted grad-output capacity (instance slots; 0 = full padded layout).
+# -1 = AUTO: fitted from the overflow probe's measured walked_chunks below
+# (the scatter-add runs over ~the walked fraction instead of the padded
+# capacity, docs/kernels.md "compacted grad output")
+GRADCAP = int(_os.environ.get("BENCH_GRADCAP", -1))
 
 
 def main():
@@ -91,12 +97,13 @@ def main():
 
     on_tpu = jax.default_backend() == "tpu"
 
-    def loss(means, scales, quats, opac, shs):
+    def loss(means, scales, quats, opac, shs, grad_capacity=0):
         out = rasterize_pallas(
             means, scales, quats, opac, shs, cam,
             max_instances=MAX_INSTANCES, interpret=not on_tpu,
             capacity_slack=CAPACITY_SLACK,
             block_x=BLOCK[0], block_y=BLOCK[1],
+            grad_capacity=grad_capacity,
             # production gradient contract: depth cotangents are dropped
             # (rasterizer.cu:79), so the backward skips the depth grad row
             depth_grad=False,
@@ -110,8 +117,6 @@ def main():
         )
         return jnp.sum((out.color - gt) ** 2) + 0.1 * jnp.sum(out.acc)
 
-    step = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))
-
     # overflow gate: the budgets must be lossless for this scene (VERDICT r1
     # weak #3 — no hand-fitting below lossless)
     probe = rasterize_pallas(
@@ -122,6 +127,12 @@ def main():
     assert int(probe.overflow) == 0, (
         f"bench budgets truncate {int(probe.overflow)} instances "
         f"(expansion {int(probe.num_instances)})")
+    walked = int(probe.walked_chunks)
+    grad_cap = GRADCAP
+    if grad_cap < 0:  # AUTO: +10% over the measured walked-chunk total
+        grad_cap = -(-int(1.10 * 128 * walked) // 128) * 128
+    step = jax.jit(jax.grad(functools.partial(loss, grad_capacity=grad_cap),
+                            argnums=(0, 1, 2, 3, 4)))
 
     # compile + warmup
     g = step(means, scales, quats, opac, shs)
@@ -153,7 +164,8 @@ def main():
         backend="pallas" if on_tpu else "naive",
         max_instances=MAX_INSTANCES, max_chunks_per_tile=MAXCH,
         capacity_slack=CAPACITY_SLACK,
-        block_x=BLOCK[0], block_y=BLOCK[1])
+        block_x=BLOCK[0], block_y=BLOCK[1],
+        grad_capacity=grad_cap)
     optimizer = training.make_optimizer(training.GsOptimParams())
     opt_state = optimizer.init(params)
     simi = training.empty_simi(max_gauss=2048)

@@ -85,6 +85,21 @@ class GpParams:
     image_sliding_window: int = 50
     curr_cam_per_iter: int = 1
     history_cam_per_iter: int = 1
+    # Deferred colorization (KNOWN DEVIATION — a completion, not a port):
+    # the reference marks a voxel added BEFORE checking its colors
+    # (added_final_gs_sample insert, gpprocess.cu:804-812) and drops
+    # color-invalid gaussians, so a voxel whose GP runs while it is outside
+    # the camera image NEVER gets splats — a permanent hole wherever the
+    # LiDAR leads the camera (measured: right-wall hole, init PSNR 18.3 ->
+    # 9.0 along the r4 quality-bench trajectory, tools/quality_diag.py).
+    # Here the visible subset of a voxel's gaussians inserts immediately
+    # (reference timing) while the still-unseen REMAINDER waits in a
+    # colorization pool and is appended by the first later frame that sees
+    # it (HashIndexRegistry grows a second range). This knob caps how many
+    # frames a remainder stays a candidate; expired gaussians were seen by
+    # no camera and are uninsertable anyway. Negative restores the strict
+    # reference behavior (drop the unseen remainder forever).
+    pending_colorize_max_age: int = 12
 
     @property
     def test_side(self) -> int:

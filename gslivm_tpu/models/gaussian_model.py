@@ -274,19 +274,36 @@ class HashIndexRegistry:
     """Host-side voxel-hash -> gaussian index-range registry
     (gs_hash_indexes_, gaussian.cuh:124). Duplicate insertion is an error in
     the reference (gaussian.cu:257-262); here it is reported by return value.
-    """
+
+    EXTENSION over the reference: a voxel may hold SEVERAL index ranges —
+    the deferred-colorization pool (pipeline.IncrementalMapper) inserts the
+    visible subset of a voxel's gaussians immediately (reference behavior)
+    and appends the remainder when a later camera finally sees it, instead
+    of dropping it forever (the added_final_gs_sample quirk,
+    gpprocess.cu:804-812)."""
 
     def __init__(self):
-        self._ranges: dict[int, tuple[int, int]] = {}
+        self._ranges: dict[int, list[tuple[int, int]]] = {}
 
     def insert(self, voxel_hash: int, start: int, count: int) -> bool:
+        """First-range insert; False (reference error analog) if present."""
         if voxel_hash in self._ranges:
             return False
-        self._ranges[voxel_hash] = (start, count)
+        self._ranges[voxel_hash] = [(start, count)]
         return True
 
+    def append_range(self, voxel_hash: int, start: int, count: int):
+        """Deferred-completion insert: add another range to a voxel."""
+        self._ranges.setdefault(voxel_hash, []).append((start, count))
+
     def lookup(self, voxel_hash: int):
-        return self._ranges.get(voxel_hash)
+        """The FIRST range of the voxel (reference API shape), or None."""
+        r = self._ranges.get(voxel_hash)
+        return r[0] if r else None
+
+    def ranges(self, voxel_hash: int) -> list:
+        """All index ranges of the voxel ([] when absent)."""
+        return self._ranges.get(voxel_hash, [])
 
     def remap_pruned(self, keep: np.ndarray):
         """Remap index ranges after prune(keep): the stable partition keeps
@@ -295,19 +312,22 @@ class HashIndexRegistry:
         whose gaussians were all dropped are removed."""
         keep = np.asarray(keep, bool)
         prefix = np.concatenate([[0], np.cumsum(keep.astype(np.int64))])
-        new: dict[int, tuple[int, int]] = {}
-        for h, (s, c) in self._ranges.items():
-            nc = int(prefix[s + c] - prefix[s])
-            if nc > 0:
-                new[h] = (int(prefix[s]), nc)
+        new: dict[int, list[tuple[int, int]]] = {}
+        for h, rs in self._ranges.items():
+            kept = []
+            for s, c in rs:
+                nc = int(prefix[s + c] - prefix[s])
+                if nc > 0:
+                    kept.append((int(prefix[s]), nc))
+            if kept:
+                new[h] = kept
         self._ranges = new
 
     def indices_for(self, hashes) -> np.ndarray:
         out = []
         for h in hashes:
-            r = self._ranges.get(int(h))
-            if r is not None:
-                out.extend(range(r[0], r[0] + r[1]))
+            for s, c in self._ranges.get(int(h), []):
+                out.extend(range(s, s + c))
         return np.asarray(out, dtype=np.int32)
 
     def __len__(self):

@@ -403,6 +403,9 @@ class TrainMetrics(NamedTuple):
     # CUDA's exact num_rendered allocation, rasterizer_impl.cu:277)
     num_instances: jnp.ndarray = np.int32(0)
     max_nchunks: jnp.ndarray = np.int32(0)
+    # max walked-chunk total across this step's renders: feedback for
+    # fitting RasterizeSettings.grad_capacity (compacted grad scatter)
+    walked_chunks: jnp.ndarray = np.int32(0)
 
 
 def render_params(params: GaussianParams, camera: Camera, bg_color,
@@ -461,12 +464,14 @@ def _train_step_impl(
         overflow = jnp.zeros((), jnp.int32)
         n_inst = jnp.zeros((), jnp.int32)
         n_chunks = jnp.zeros((), jnp.int32)
+        n_walked = jnp.zeros((), jnp.int32)
         for i, cam in enumerate(cameras):
             out = render_params(p, cam, bg_color, settings)
             renders.append(out)
             overflow = jnp.maximum(overflow, out.overflow)
             n_inst = jnp.maximum(n_inst, out.num_instances)
             n_chunks = jnp.maximum(n_chunks, out.max_nchunks)
+            n_walked = jnp.maximum(n_walked, out.walked_chunks)
             l1 = loss_ops.l1_loss(out.color, gt_images[i])
             rs = (None if gt_stats is None
                   else (gt_stats[0][i], gt_stats[1][i]))
@@ -503,9 +508,10 @@ def _train_step_impl(
 
         total = image_total + s_loss + d_loss
         return total, (image_total, s_loss, d_loss, psnr0, ssim0, overflow,
-                       n_inst, n_chunks)
+                       n_inst, n_chunks, n_walked)
 
-    (loss, (img_l, s_l, d_l, psnr0, ssim0, ovf, n_inst, n_chunks)), grads = \
+    (loss, (img_l, s_l, d_l, psnr0, ssim0, ovf, n_inst, n_chunks,
+            n_walked)), grads = \
         jax.value_and_grad(total_loss, has_aux=True, allow_int=True)(params)
     # int leaves (n_active) get float0 grads; give the optimizer a zero
     grads = grads.replace(n_active=jnp.zeros((), jnp.float32))
@@ -516,6 +522,7 @@ def _train_step_impl(
     metrics = TrainMetrics(
         loss=loss, image_loss=img_l, simi=s_l, delta=d_l, psnr=psnr0,
         ssim=ssim0, overflow=ovf, num_instances=n_inst, max_nchunks=n_chunks,
+        walked_chunks=n_walked,
     )
     return params, opt_state, metrics
 

@@ -59,6 +59,14 @@ class RasterizeSettings(NamedTuple):
     # NOTE: training.train_step force-overrides this to False — to inspect
     # n_contrib, render outside the train step (training.render_params)
     contrib_stats: bool = True
+    # compacted grad-output capacity in instance slots (pallas only; 0 =
+    # full padded layout). When > 0 the backward writes per-instance grads
+    # densely at CHUNK * prefix(neff), shrinking the gradient scatter-add
+    # to ~walked_chunks * CHUNK indices (the early-stop walked fraction is
+    # ~60% at the bench shape). Undersized capacity degrades those grads
+    # to approximate and is counted into overflow; the pipeline feedback-
+    # fits this from RenderOutput.walked_chunks like the other budgets.
+    grad_capacity: int = 0
 
 
 def _resolve_backend(backend: str) -> str:
@@ -96,6 +104,7 @@ def _render_impl(settings: RasterizeSettings, camera, means, scales, quats,
             # skip the depth grad row + its scatter share entirely
             depth_grad=settings.depth_grad,
             contrib_stats=settings.contrib_stats,
+            grad_capacity=settings.grad_capacity,
         )
     else:
         raise ValueError(f"unknown rasterizer backend: {backend!r}")
@@ -129,6 +138,7 @@ def _rddg_bwd(settings, vjp, g):
         overflow=jnp.zeros_like(g.overflow),
         num_instances=jnp.zeros_like(g.num_instances),
         max_nchunks=jnp.zeros_like(g.max_nchunks),
+        walked_chunks=jnp.zeros_like(g.walked_chunks),
     )
     return vjp(g_dropped)
 

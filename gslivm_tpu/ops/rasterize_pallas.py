@@ -106,6 +106,16 @@ class PallasConfig(NamedTuple):
     # the profiling/stat tools (bin_instances aligned_layout=True).
     pad_cols: int = 0           # width of the backward's CHUNK-aligned
                                 # per-instance grad output
+    grad_cols: int = 0          # COMPACTED grad-output width (0 = disabled:
+    # grads use the full pad_cols layout at the static tile offsets). When
+    # > 0 the backward writes each tile's chunks at CHUNK * prefix(neff)
+    # — a dense prefix of exactly walked_chunks * CHUNK live slots — so the
+    # per-gaussian gradient scatter-add (the ~15 ns/index wall,
+    # docs/kernels.md) runs over grad_cols instead of pad_cols indices
+    # (~60% walked fraction at the bench shape => ~1.5x fewer indices).
+    # Too-small capacity clamps the excess chunks onto the last slot
+    # (grads approximate, never OOB) and is counted into overflow by the
+    # wrapper, which escalates like every other budget.
     skip_depth_grad: bool = False  # reference depth-grad-drop contract
     # (rasterizer.cu:79): when the caller drops the depth cotangent anyway,
     # the backward skips the psi depth term, the depth grad row, and its
@@ -458,7 +468,13 @@ def _bwd_kernel(cfg: PallasConfig, off_ref, neff_ref, cnt_ref, poff_ref,
     get_dma = _inst_get_dma(cfg, inst_ref, buf_ref, rsem_ref, off)
 
     def put_dma(slot, i):
-        start = pl.multiple_of(woff + i * CHUNK, CHUNK)
+        start = woff + i * CHUNK
+        if cfg.grad_cols > 0:
+            # compacted layout: a too-small grad_cols budget clamps the
+            # overflowing chunks onto the final slot (counted into overflow
+            # by the wrapper) instead of writing OOB
+            start = jnp.minimum(start, cfg.grad_cols - CHUNK)
+        start = pl.multiple_of(start, CHUNK)
         return pltpu.make_async_copy(
             gbuf_ref.at[slot],
             dinst_ref.at[:, pl.ds(start, CHUNK)],
@@ -694,10 +710,11 @@ def _bwd_call(cfg: PallasConfig, inst, tile_offset, neff, cnt, poff, g_tiles,
             pltpu.SemaphoreType.DMA,
         ],
     )
+    out_cols = cfg.grad_cols if cfg.grad_cols > 0 else pad
     return pl.pallas_call(
         functools.partial(_bwd_kernel, cfg),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((FEAT, pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((FEAT, out_cols), jnp.float32),
         interpret=cfg.interpret,
     )(tile_offset, neff, cnt, poff, inst, g_tiles, fwd_tiles, ckpt)
 
@@ -803,16 +820,31 @@ def _render_from_table_fwd(cfg, table, gid_ext, start, nchunks, cnt, poff):
 def _render_from_table_bwd(cfg, res, g_tiles):
     (inst, start, cnt, poff, out, ckpt, tshape, gshape, nshape) = res
     neff = out[:, 7, 0].astype(jnp.int32)
-    d_pad = _bwd_call(cfg, inst, start, neff, cnt, poff, g_tiles, out, ckpt)
-    # zero never-written slots (chunks >= neff are fully occluded => zero
-    # gradient); the per-tile bound poff[t] + CHUNK*neff[t] is
-    # non-decreasing, so it expands with a start-scatter + running max
-    pad = cfg.pad_cols
-    bound_marks = jnp.zeros((pad,), jnp.int32).at[poff].max(
-        poff + CHUNK * neff, mode="drop")
-    bound = jax.lax.cummax(bound_marks)
-    slot = jnp.arange(pad, dtype=jnp.int32)
-    d_pad = jnp.where((slot < bound)[None, :], d_pad, 0.0)
+    if cfg.grad_cols > 0:
+        # COMPACTED layout: tile t writes its neff[t] chunks at
+        # CHUNK * prefix(neff) — a dense prefix of the grad array, so the
+        # scatter below runs over grad_cols ~= walked_chunks * CHUNK
+        # indices instead of the full padded capacity (docs/kernels.md
+        # "compacted grad output"). The bound-expansion machinery of the
+        # padded layout collapses to one prefix mask.
+        woff = CHUNK * (jnp.cumsum(neff) - neff).astype(jnp.int32)
+        total = CHUNK * jnp.sum(neff)
+        d_pad = _bwd_call(cfg, inst, start, neff, cnt, woff, g_tiles, out,
+                          ckpt)
+        slot = jnp.arange(cfg.grad_cols, dtype=jnp.int32)
+        d_pad = jnp.where((slot < total)[None, :], d_pad, 0.0)
+    else:
+        d_pad = _bwd_call(cfg, inst, start, neff, cnt, poff, g_tiles, out,
+                          ckpt)
+        # zero never-written slots (chunks >= neff are fully occluded =>
+        # zero gradient); the per-tile bound poff[t] + CHUNK*neff[t] is
+        # non-decreasing, so it expands with a start-scatter + running max
+        pad = cfg.pad_cols
+        bound_marks = jnp.zeros((pad,), jnp.int32).at[poff].max(
+            poff + CHUNK * neff, mode="drop")
+        bound = jax.lax.cummax(bound_marks)
+        slot = jnp.arange(pad, dtype=jnp.int32)
+        d_pad = jnp.where((slot < bound)[None, :], d_pad, 0.0)
     # per-gaussian (rank-space) reduction: indices come from the kernel's
     # id row; masked/padding slots carry id 0 with zero grads
     ids = d_pad[_FID].astype(jnp.int32)
@@ -857,6 +889,7 @@ def render_tiles_raw(
     block_y: int = 1,
     depth_grad: bool = True,
     contrib_stats: bool = True,
+    grad_capacity: int = 0,
 ):
     """Bin + render an already-PREPROCESSED gaussian set to raw tile images.
 
@@ -897,6 +930,13 @@ def render_tiles_raw(
     blocked = block_x != 1 or block_y != 1
     num_tiles = sgrid_x * n_rows
     pad_cols = _padded_capacity(max_instances, num_tiles, capacity_slack)
+    # compacted grad capacity: CHUNK-aligned, at least one chunk, and only
+    # meaningful strictly below the padded layout it replaces
+    grad_cols = 0
+    if grad_capacity > 0:
+        grad_cols = max(CHUNK, -(-grad_capacity // CHUNK) * CHUNK)
+        if grad_cols >= pad_cols:
+            grad_cols = 0
     cfg = PallasConfig(
         grid_x=sgrid_x,
         grid_y=n_rows,
@@ -906,6 +946,7 @@ def render_tiles_raw(
         ph=ph,
         rect_test=blocked,
         pad_cols=pad_cols,
+        grad_cols=grad_cols,
         skip_depth_grad=not depth_grad,
         skip_contrib=not contrib_stats,
     )
@@ -930,6 +971,15 @@ def render_tiles_raw(
     tiles = _render_from_table(cfg, table, gid_ext, binned.sorted_start,
                                binned.tile_nchunks, binned.cnt_allowed,
                                binned.tile_offset)
+
+    if grad_cols:
+        # a compacted grad budget below the walked-chunk total clamps the
+        # excess onto the last slot (approximate grads): count it into
+        # overflow so consumers escalate exactly like the other budgets
+        walked = jnp.sum(
+            jax.lax.stop_gradient(tiles[:, 7, 0])).astype(jnp.int32)
+        grad_ovf = jnp.maximum(0, CHUNK * walked - grad_cols)
+        binned = binned._replace(overflow=binned.overflow + grad_ovf)
 
     # [T, 8, npix] -> [8, band_h, Wp]
     band = (
@@ -966,6 +1016,7 @@ def rasterize_pallas(
     block_y: int = 1,
     depth_grad: bool = True,
     contrib_stats: bool = True,
+    grad_capacity: int = 0,
 ) -> RenderOutput:
     """Tile-binned Pallas rasterization, API-compatible with rasterize_naive.
 
@@ -999,12 +1050,15 @@ def rasterize_pallas(
         tile_band=tile_band, band_rows=band_rows, band_start=band_start,
         tile_cull=tile_cull, capacity_slack=capacity_slack,
         block_x=block_x, block_y=block_y, depth_grad=depth_grad,
-        contrib_stats=contrib_stats)
+        contrib_stats=contrib_stats, grad_capacity=grad_capacity)
     n_rows, sgrid_x, sgrid_y = layout.n_rows, layout.sgrid_x, layout.sgrid_y
     pw, ph = layout.pw, layout.ph
     dynamic_band = layout.dynamic_band
     if not dynamic_band:
         y0 = tile_band[0] if tile_band is not None else 0
+    # per-tile effective (walked) chunk total — the grad_capacity fit signal
+    walked = jnp.sum(jax.lax.stop_gradient(
+        band[7, ::ph, ::pw])).astype(jnp.int32)
 
     def out_from(img, crop_h):
         color = img[0:3] + img[5][None] * bg_color[:, None, None]
@@ -1019,6 +1073,7 @@ def rasterize_pallas(
             num_instances=jax.lax.stop_gradient(binned.num_instances),
             max_nchunks=jax.lax.stop_gradient(
                 jnp.max(binned.tile_nchunks)).astype(jnp.int32),
+            walked_chunks=walked,
         )
 
     if dynamic_band:

@@ -309,6 +309,11 @@ class RenderOutput(NamedTuple):
     # busiest tile's chunk count (pallas backend; 0 for the oracle) — the
     # feedback signal for fitting max_chunks_per_tile (pipeline auto-fit)
     max_nchunks: jnp.ndarray = np.int32(0)    # [] int32
+    # total chunks the kernels actually WALK (sum of per-tile neff — the
+    # early-stop vote): the backward writes exactly walked_chunks * CHUNK
+    # per-instance grad slots, so this is the feedback signal for fitting
+    # RasterizeSettings.grad_capacity (the compacted grad layout)
+    walked_chunks: jnp.ndarray = np.int32(0)  # [] int32
 
 
 def rasterize_naive(

@@ -22,6 +22,7 @@ simi + delta-depth losses, status metrics every call.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import queue as _queue
 import threading
 import time as _time
@@ -107,14 +108,35 @@ class IncrementalMapper:
         self.budget_refits = 0
         self._fit_inst: list[int] = []
         self._fit_chunks: list[int] = []
+        self._fit_walked: list[int] = []
         self._overflowed_at = 0  # largest budget that ever overflowed:
         # never shrink back to it (prevents shrink->overflow->double cycles)
-        self._prev_metrics = None  # one-step-deferred feedback (see
-        # train_iteration: avoids a device sync per dispatched step)
+        # Budget feedback is ingested in BATCHES of feedback_interval steps:
+        # reading a step's overflow scalar forces a device round trip, and
+        # a per-iteration sync serializes host and device (on a remote-
+        # tunneled chip the round trip alone is ~100 ms — the r4 "host-
+        # bound iteration" diagnosis). Batching keeps the device pipeline
+        # feedback_interval steps deep; escalation lags by at most
+        # 2*feedback_interval iterations.
+        self.feedback_interval = 8
+        self._pending_feedback: list = []
+        self._feedback_hot = True  # per-step feedback while budgets are
+        # unproven (startup) or known-broken (overflow); the first CLEAN
+        # step switches to batched mode
 
         # loss anchors: voxel hash -> [k, 3] points (latest wins, like the
         # reference's GsForLosses merge, lioOptimization.cpp:459-476)
         self.loss_anchors: dict[int, np.ndarray] = {}
+        # deferred-colorization pool: voxel hash -> [means [16,3],
+        # covs [16,3,3], age] for GP voxels no camera has fully seen yet
+        # (see GpParams.pending_colorize_max_age)
+        self._pending_color: dict[int, list] = {}
+        # SimiInputs assembly is cached between train iterations: the
+        # anchor->gaussian join is a Python loop over thousands of voxels
+        # (~100 ms/iter at production scale — the r4 host-bound iteration
+        # diagnosis) whose inputs only change when add_frame ingests new
+        # anchors/registry rows or prune_map remaps the registry
+        self._simi_cache: training.SimiInputs | None = None
 
         self._bg = jnp.ones((3,), jnp.float32)
         # donate params/Adam buffers on accelerators (halves parameter HBM
@@ -135,11 +157,6 @@ class IncrementalMapper:
             div.hashes, np.asarray(res.reopen), np.asarray(res.update_variance)
         )
 
-        # colorize the 16 fast-init gaussians of every work voxel
-        colors, valid = gp3d.colorize(res.means, frame.cam_projection,
-                                      jnp.asarray(frame.image))
-        colors = np.asarray(colors)
-        valid = np.asarray(valid)
         means = np.asarray(res.means)
         covs = np.asarray(res.covs)
         vmask = np.asarray(div.batch.mask) & ~np.asarray(res.error)
@@ -154,20 +171,61 @@ class IncrementalMapper:
         for i in np.nonzero(reopen & vmask)[0]:
             self.loss_anchors[int(div.hashes[i])] = lp[i]
 
-        # assemble the insertion batch: only first-time voxels, valid colors
-        new_xyz, new_rgb, new_cov, ranges = [], [], [], []
+        # queue fresh GP voxels into the deferred-colorization pool (latest
+        # GP result wins for a reopened-while-pending voxel); registry
+        # membership is the added_final_gs_sample dedup (gpprocess.cu:806-812)
         for i in np.nonzero(vmask)[0]:
             h = int(div.hashes[i])
-            if self.registry.lookup(h) is not None:
-                continue  # added_final_gs_sample dedup (gpprocess.cu:806-812)
-            keep = valid[i]
-            cnt = int(keep.sum())
-            if cnt == 0:
-                continue
-            new_xyz.append(means[i][keep])
-            new_rgb.append(colors[i][keep])
-            new_cov.append(covs[i][keep])
-            ranges.append((h, cnt))
+            # not-yet-inserted voxels take the newest GP result; once any
+            # subset is inserted the voxel is registered and the remaining
+            # pool entry keeps ITS generation (no mixing)
+            if self.registry.lookup(h) is None:
+                self._pending_color[h] = [
+                    means[i], covs[i], 0,
+                    np.ones(means.shape[1], bool)]  # gaussians still pending
+
+        # colorize the ENTIRE pool against this frame in one batched call;
+        # insert voxels that are fully visible now, age-out partial ones
+        # (config.py GpParams.pending_colorize_max_age — the documented
+        # deviation from the reference's insert-the-valid-subset-once)
+        new_xyz, new_rgb, new_cov, ranges = [], [], [], []
+        max_age = self.cfg.gp.pending_colorize_max_age
+        if self._pending_color:
+            keys = list(self._pending_color)
+            pm = np.stack([self._pending_color[h][0] for h in keys])
+            # pow2-bucketed padded shape + one jitted call: the pool size
+            # changes every frame, and unbucketed eager colorize would
+            # compile fresh kernels per frame (remote TPU compiles are
+            # seconds each — same rationale as gpmap._pack's buckets)
+            vpad = 8
+            while vpad < pm.shape[0]:
+                vpad *= 2
+            pmp = np.zeros((vpad,) + pm.shape[1:], np.float32)
+            pmp[: pm.shape[0]] = pm
+            pcolors, pvalid = self._colorize_jit(
+                jnp.asarray(pmp), frame.cam_projection,
+                jnp.asarray(frame.image))
+            pcolors = np.asarray(pcolors)[: pm.shape[0]]
+            pvalid = np.asarray(pvalid)[: pm.shape[0]]
+            strict = max_age < 0
+            for j, h in enumerate(keys):
+                entry = self._pending_color[h]
+                keep = pvalid[j] & entry[3]
+                cnt = int(keep.sum())
+                if cnt > 0:
+                    # insert the newly-visible subset NOW (reference
+                    # timing, gpprocess.cu:828-838) ...
+                    new_xyz.append(pm[j][keep])
+                    new_rgb.append(pcolors[j][keep])
+                    new_cov.append(entry[1][keep])
+                    ranges.append((h, cnt))
+                    entry[3] = entry[3] & ~keep
+                # ... and, unlike the reference, keep the still-unseen
+                # remainder pending until a camera sees it or the age cap
+                # expires (never-visible gaussians are uninsertable anyway)
+                entry[2] += 1
+                if strict or not entry[3].any() or entry[2] > max(max_age, 0):
+                    del self._pending_color[h]
 
         inserted = 0
         if new_xyz:
@@ -190,7 +248,9 @@ class IncrementalMapper:
             self.params = gm.append_points(batch=batch, params=self.params,
                                            scale_factor=self.cfg.gs.scale_factor)
             for h, cnt in ranges:
-                self.registry.insert(h, start, cnt)
+                if not self.registry.insert(h, start, cnt):
+                    # deferred completion of a partially-inserted voxel
+                    self.registry.append_range(h, start, cnt)
                 start += cnt
             inserted = m
 
@@ -218,12 +278,15 @@ class IncrementalMapper:
         if not self.started and int(self.params.n_active) > self.bootstrap_points:
             self.started = True  # is_gs_started (lioOptimization.cpp:1426-1443)
 
+        self._simi_cache = None  # anchors and/or registry changed
+
         return {
             "inserted": inserted,
             "active": int(self.params.n_active),
             "voxels": self.gpmap.stats(),
             "keyframes": len(self.cameras),
             "overflow_gp": int(np.asarray(res.error).sum()),
+            "pending_color": len(self._pending_color),
         }
 
     def _is_keyframe(self, camera: Camera) -> bool:
@@ -281,25 +344,37 @@ class IncrementalMapper:
 
     def _simi_inputs(self, max_gauss: int = 2048) -> training.SimiInputs:
         """calcSimiLoss input assembly (gaussian.cu:201-228): anchors in
-        voxels that exist in the registry + their gaussian indices."""
+        voxels that exist in the registry + their gaussian indices.
+        Cached: add_frame / prune_map invalidate (anchors or registry
+        changed); every other call returns the device-resident inputs."""
+        if self._simi_cache is not None:
+            return self._simi_cache
         pts, gidx = [], []
+        npts = 0
         for h, anchor in self.loss_anchors.items():
-            r = self.registry.lookup(h)
-            if r is None:
+            rs = self.registry.ranges(h)
+            if not rs:
                 continue
-            pts.append(anchor)
-            gidx.extend(range(r[0], r[0] + r[1]))
+            if npts < training.MAX_SIMI:
+                pts.append(anchor)
+                npts += len(anchor)
+            for s, c in rs:
+                gidx.extend(range(s, s + c))
+            if npts >= training.MAX_SIMI and len(gidx) >= max_gauss:
+                break  # both fixed-shape caps saturated (MAX_SIMI parity)
         simi = training.empty_simi(max_gauss=max_gauss)
-        if not pts:
-            return simi
-        points = np.concatenate(pts)[: training.MAX_SIMI]
-        gidx = np.asarray(gidx[:max_gauss], np.int32)
-        return training.SimiInputs(
-            points=simi.points.at[: len(points)].set(jnp.asarray(points, jnp.float32)),
-            point_mask=jnp.arange(training.MAX_SIMI) < len(points),
-            gauss_idx=simi.gauss_idx.at[: len(gidx)].set(jnp.asarray(gidx)),
-            gauss_mask=jnp.arange(simi.gauss_idx.shape[0]) < len(gidx),
-        )
+        if pts:
+            points = np.concatenate(pts)[: training.MAX_SIMI]
+            gidx = np.asarray(gidx[:max_gauss], np.int32)
+            simi = training.SimiInputs(
+                points=simi.points.at[: len(points)].set(
+                    jnp.asarray(points, jnp.float32)),
+                point_mask=jnp.arange(training.MAX_SIMI) < len(points),
+                gauss_idx=simi.gauss_idx.at[: len(gidx)].set(jnp.asarray(gidx)),
+                gauss_mask=jnp.arange(simi.gauss_idx.shape[0]) < len(gidx),
+            )
+        self._simi_cache = jax.tree.map(jnp.asarray, simi)
+        return self._simi_cache
 
     def train_iteration(self) -> training.TrainMetrics | None:
         if not self.started or not self.cameras:
@@ -328,15 +403,26 @@ class IncrementalMapper:
         self.opt_state = opt_state
         self.iter += 1
 
-        # Budget feedback is DEFERRED one step: reading this step's
-        # overflow would force a device sync right after dispatch,
-        # serializing host and device (SURVEY §7 hard part 4). Instead the
-        # PREVIOUS step's metrics — whose device work completed while this
-        # step was being built — are ingested now, so the device pipeline
-        # stays full and escalation lags by exactly one iteration.
-        prev, self._prev_metrics = self._prev_metrics, metrics
-        if prev is not None:
-            self._ingest_budget_feedback(prev)
+        # Budget feedback is DEFERRED and BATCHED: reading a step's
+        # overflow forces a device sync (SURVEY §7 hard part 4), so the
+        # metrics of the last feedback_interval steps are ingested together
+        # — by the time the batch is read, all but (at most) the newest
+        # step have long completed, costing ONE round trip per batch
+        # instead of one per iteration.
+        # While budgets are known-broken (_feedback_hot), ingest every step
+        # — sync cost is irrelevant when the renders are truncated anyway;
+        # in steady state the batch keeps the pipeline deep.
+        self._pending_feedback.append(metrics)
+        interval = 1 if self._feedback_hot else self.feedback_interval
+        if len(self._pending_feedback) >= interval:
+            pending, self._pending_feedback = self._pending_feedback, []
+            for j, m in enumerate(pending):
+                esc = self.overflow_escalations
+                self._ingest_budget_feedback(m)
+                if self.overflow_escalations != esc:
+                    # the rest of the batch predates the new budgets —
+                    # stale signals must not compound the escalation
+                    break
 
         # pruning lifecycle: long-run splat count plateaus instead of
         # growing monotonically (completes the reference's never-called
@@ -350,20 +436,33 @@ class IncrementalMapper:
     def _ingest_budget_feedback(self, metrics: "training.TrainMetrics"):
         self.last_overflow = int(metrics.overflow)
         if self.last_overflow > 0:
+            self._feedback_hot = True
             self._overflowed_at = max(self._overflowed_at,
                                       self.settings.max_instances)
             self._fit_inst.clear()
             self._fit_chunks.clear()
+            self._fit_walked.clear()
             self._overflow_streak += 1
             if self._overflow_streak >= 2:
-                # overflow sums both budget cuts (binning.py:308), so grow
-                # the expansion budget AND the per-tile chunk cap together
+                # overflow sums all three budget cuts (binning.py + the
+                # compacted grad clamp). The TRUE expansion is measured
+                # (num_instances), so jump max_instances straight to it
+                # (+20%) instead of doubling blindly; the per-tile chunk
+                # cap (whose uncapped need is unobservable) doubles, and
+                # the grad layout falls back to always-lossless full until
+                # the next fit.
+                b = self._INST_BUCKET
+                need_i = int(1.2 * int(metrics.num_instances))
+                fitted_i = max(b, -(-need_i // b) * b)
                 self.settings = self.settings._replace(
-                    max_instances=2 * self.settings.max_instances,
-                    max_chunks_per_tile=2 * self.settings.max_chunks_per_tile)
+                    max_instances=max(2 * self.settings.max_instances,
+                                      fitted_i),
+                    max_chunks_per_tile=2 * self.settings.max_chunks_per_tile,
+                    grad_capacity=0)
                 self.overflow_escalations += 1
                 self._overflow_streak = 0
         else:
+            self._feedback_hot = False
             self._overflow_streak = 0
             self._maybe_shrink_budgets(metrics)
 
@@ -381,6 +480,7 @@ class IncrementalMapper:
             return
         self._fit_inst.append(int(metrics.num_instances))
         self._fit_chunks.append(int(metrics.max_nchunks))
+        self._fit_walked.append(int(metrics.walked_chunks))
         if len(self._fit_inst) < self.budget_fit_window:
             return
         b = self._INST_BUCKET
@@ -394,8 +494,19 @@ class IncrementalMapper:
             new = new._replace(max_instances=fitted_i)
         if fitted_c * 2 <= new.max_chunks_per_tile:
             new = new._replace(max_chunks_per_tile=fitted_c)
+        # compacted grad scatter: fit grad_capacity to the measured walked-
+        # chunk high-water mark (+20%, bucketed) — the scatter-add's index
+        # count drops from the padded capacity to ~the walked fraction
+        walked_max = max(self._fit_walked) if self._fit_walked else 0
+        if walked_max > 0:
+            need_g = int(walked_max * 128 * 1.2)
+            fitted_g = max(b, -(-need_g // b) * b)
+            cur = new.grad_capacity
+            if cur == 0 or fitted_g > cur or fitted_g * 2 <= cur:
+                new = new._replace(grad_capacity=fitted_g)
         self._fit_inst.clear()
         self._fit_chunks.clear()
+        self._fit_walked.clear()
         if new != self.settings:
             self.settings = new
             self.budget_refits += 1
@@ -417,6 +528,7 @@ class IncrementalMapper:
         self.params = gm.compact(self.params, order, count)
         self.opt_state = training.compact_opt_state(self.opt_state, order, count)
         self.registry.remap_pruned(keep)
+        self._simi_cache = None  # gaussian indices shifted
         return dropped
 
     # ------------------------------------------------------------------
@@ -424,8 +536,25 @@ class IncrementalMapper:
     # ------------------------------------------------------------------
 
     def render_keyframe(self, index: int):
-        return training.render_params(
-            self.params, self.cameras[index], self._bg, self.settings)
+        return self._render_jit(
+            self.params, self.cameras[index], self._bg, settings=self.settings)
+
+    @functools.cached_property
+    def _render_jit(self):
+        # evaluation renders are ONE jit trace shared by every keyframe
+        # (Camera is a pytree with static width/height): eager dispatch of
+        # the whole rasterizer per render made evaluate() host-bound
+        return jax.jit(training.render_params, static_argnames=("settings",))
+
+    @functools.cached_property
+    def _colorize_jit(self):
+        return jax.jit(gp3d.colorize)
+
+    @functools.cached_property
+    def _pair_metrics_jit(self):
+        def pair(color, gt):
+            return loss_ops.psnr(color, gt), loss_ops.ssim(color, gt)
+        return jax.jit(pair)
 
     def save_ply(self, path: str):
         gm.save_ply(self.params, path)
@@ -433,14 +562,12 @@ class IncrementalMapper:
     def evaluate(self) -> dict:
         """Mean PSNR/SSIM over all keyframes (saveRender,
         lioOptimization.cpp:2198-2234)."""
-        from .ops import losses as loss_ops
-
         psnrs, ssims = [], []
         for i in range(len(self.cameras)):
             out = self.render_keyframe(i)
-            gt = jnp.asarray(self.gt_images[i])
-            psnrs.append(float(loss_ops.psnr(out.color, gt)))
-            ssims.append(float(loss_ops.ssim(out.color, gt)))
+            p, s = self._pair_metrics_jit(out.color, self._gt_device[i])
+            psnrs.append(float(p))
+            ssims.append(float(s))
         return {
             "mean_psnr": float(np.mean(psnrs)) if psnrs else 0.0,
             "mean_ssim": float(np.mean(ssims)) if ssims else 0.0,

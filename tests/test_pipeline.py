@@ -423,3 +423,81 @@ def test_prune_max_scale_drops_runaway_blobs():
     sc2[blobs, 0] = np.log(3.0)
     mapper2.params = mapper2.params.replace(scaling=jnp.asarray(sc2))
     assert mapper2.prune_map() == 0
+
+
+def _flat_voxel_points(center, rng, n=40):
+    """A flat in-voxel point cluster that passes the PCA surface test."""
+    pts = np.asarray(center) + np.stack([
+        rng.uniform(0.0, 0.18, n),
+        0.05 + rng.normal(0, 0.004, n),  # mid-voxel: stays in ONE cell
+        rng.uniform(0.0, 0.18, n),
+    ], axis=1)
+    return pts
+
+
+def test_deferred_colorization_inserts_when_seen(rng):
+    """A voxel whose GP runs while OUTSIDE the camera image must not be
+    dropped forever (the reference's added_final_gs_sample quirk,
+    gpprocess.cu:804-812): it waits in the colorization pool and inserts
+    when the first camera actually sees it (config.py
+    GpParams.pending_colorize_max_age)."""
+    from gslivm_tpu.models.cameras import make_camera
+
+    cfg = Config()
+    mapper = IncrementalMapper(
+        config=cfg, settings=RasterizeSettings(backend="naive"),
+        initial_capacity=1024)
+
+    pts = _flat_voxel_points([5.0, 0.0, 2.0], rng)
+    img = np.full((48, 64, 3), 128, np.uint8)
+
+    # frame A: camera at origin looking +z — the cluster at x=5 is far
+    # outside the frustum, so every gaussian colorizes invalid
+    cam_a = make_camera(np.eye(3), np.zeros(3), 64, 48, fovx=1.0, fovy=0.8)
+    from gslivm_tpu.pipeline import Frame
+    stats = mapper.add_frame(Frame(
+        points_world=pts, image=img, camera=cam_a,
+        cam_projection=synthetic.camera_projection(cam_a)))
+    assert stats["inserted"] == 0
+    assert stats["pending_color"] == 1
+    assert len(mapper.registry) == 0
+
+    # frame B: camera moved under the cluster, looking straight at it
+    cam_b = make_camera(np.eye(3), np.asarray([5.09, 0.0, -1.0]), 64, 48,
+                        fovx=1.0, fovy=0.8)
+    stats = mapper.add_frame(Frame(
+        points_world=np.zeros((0, 3)), image=img, camera=cam_b,
+        cam_projection=synthetic.camera_projection(cam_b)))
+    assert stats["inserted"] == 16  # the full voxel, no partial drop
+    assert stats["pending_color"] == 0
+    assert len(mapper.registry) == 1
+
+
+def test_deferred_colorization_strict_mode_drops(rng):
+    """pending_colorize_max_age < 0 restores the exact reference behavior:
+    a voxel processed out-of-view is dropped permanently."""
+    import dataclasses
+
+    from gslivm_tpu.config import GpParams
+    from gslivm_tpu.models.cameras import make_camera
+    from gslivm_tpu.pipeline import Frame
+
+    cfg = dataclasses.replace(Config(),
+                              gp=GpParams(pending_colorize_max_age=-1))
+    mapper = IncrementalMapper(
+        config=cfg, settings=RasterizeSettings(backend="naive"),
+        initial_capacity=1024)
+    pts = _flat_voxel_points([5.0, 0.0, 2.0], rng)
+    img = np.full((48, 64, 3), 128, np.uint8)
+    cam_a = make_camera(np.eye(3), np.zeros(3), 64, 48, fovx=1.0, fovy=0.8)
+    stats = mapper.add_frame(Frame(
+        points_world=pts, image=img, camera=cam_a,
+        cam_projection=synthetic.camera_projection(cam_a)))
+    assert stats["inserted"] == 0
+    assert stats["pending_color"] == 0  # dropped, not pooled
+    cam_b = make_camera(np.eye(3), np.asarray([5.09, 0.0, -1.0]), 64, 48,
+                        fovx=1.0, fovy=0.8)
+    stats = mapper.add_frame(Frame(
+        points_world=np.zeros((0, 3)), image=img, camera=cam_b,
+        cam_projection=synthetic.camera_projection(cam_b)))
+    assert stats["inserted"] == 0  # gone forever (reference parity)

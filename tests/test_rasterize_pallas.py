@@ -369,3 +369,66 @@ def test_sparse_scene_empty_tile_handoff():
     for a, b in zip(g_o, g_p):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    atol=2e-5, rtol=2e-4)
+
+
+def test_compacted_grad_capacity_matches_full():
+    """grad_capacity > walked total: the compacted grad layout must produce
+    BIT-level identical gradients to the full padded layout (same kernel
+    math, only the write offsets and the scatter index count change), and
+    walked_chunks must be reported for the feedback fit."""
+    rng = np.random.default_rng(7)
+    n = 120
+    cam = _cam(48, 32)
+    means, scales, quats, opac, shs = _scene(n, rng)
+    bg = jnp.asarray([1.0, 1.0, 1.0])
+    gt = jnp.asarray(rng.uniform(size=(3, 32, 48)), dtype=jnp.float32)
+
+    def loss_with(**kw):
+        def f(means, scales, quats, opac, shs):
+            out = rasterize_pallas(means, scales, quats, opac, shs, cam,
+                                   bg_color=bg, max_instances=1 << 14,
+                                   interpret=True, **kw)
+            return jnp.sum((out.color - gt) ** 2) + jnp.sum(out.acc)
+        return f
+
+    out = rasterize_pallas(means, scales, quats, opac, shs, cam, bg_color=bg,
+                           max_instances=1 << 14, interpret=True)
+    walked = int(out.walked_chunks)
+    assert walked > 0
+    assert int(out.overflow) == 0
+
+    g_full = jax.grad(loss_with(), argnums=(0, 1, 2, 3, 4))(
+        means, scales, quats, opac, shs)
+    g_comp = jax.grad(loss_with(grad_capacity=(walked + 2) * CHUNK),
+                      argnums=(0, 1, 2, 3, 4))(means, scales, quats, opac,
+                                               shs)
+    for a, b in zip(g_full, g_comp):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_compacted_grad_undersized_counts_overflow():
+    """grad_capacity below the walked total: grads degrade to approximate
+    (clamped onto the last slot) but stay finite, and the shortfall is
+    counted into overflow so the budget escalation fires."""
+    rng = np.random.default_rng(8)
+    cam = _cam(48, 32)
+    means, scales, quats, opac, shs = _scene(120, rng)
+    out_ok = rasterize_pallas(means, scales, quats, opac, shs, cam,
+                              max_instances=1 << 14, interpret=True)
+    walked = int(out_ok.walked_chunks)
+    assert walked > 2
+    small = (walked // 2) * CHUNK
+    out = rasterize_pallas(means, scales, quats, opac, shs, cam,
+                           max_instances=1 << 14, interpret=True,
+                           grad_capacity=small)
+    assert int(out.overflow) == CHUNK * walked - small
+
+    def f(means, scales, quats, opac, shs):
+        out = rasterize_pallas(means, scales, quats, opac, shs, cam,
+                               max_instances=1 << 14, interpret=True,
+                               grad_capacity=small)
+        return jnp.sum(out.color ** 2)
+
+    g = jax.grad(f, argnums=(0, 1, 2, 3, 4))(means, scales, quats, opac, shs)
+    for a in g:
+        assert np.all(np.isfinite(np.asarray(a)))

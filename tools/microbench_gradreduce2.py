@@ -105,12 +105,40 @@ def main():
     r1t = np.asarray(jax.jit(a1t)(gT, rank_j))
     np.testing.assert_allclose(r1.T, r1t, rtol=2e-5, atol=2e-5)
 
+    # --- A12c (r5): expansion-space route in COLUMN layout ----------------
+    # the r2 A12 measurement used the [slots, NF] ROW layout, whose scatter
+    # is catastrophic (~101 ms, 40 B strided per index); the column flavor
+    # pays the measured ~7 ns/index of a 1-col scatter-set instead. Still
+    # needs the e-index plumbing (meta gather + tile expand) on top.
+    def a12c(g, es, off, end):
+        pre = jnp.zeros((NF, MAXI + 1), jnp.float32).at[:, es].set(
+            g, mode="drop", unique_indices=True)[:, :MAXI]
+        cs = jnp.cumsum(pre, axis=1)
+        hi = cs[:, jnp.maximum(end - 1, 0)]
+        lo = jnp.where((off > 0)[None, :], cs[:, jnp.maximum(off - 1, 0)],
+                       0.0)
+        return jnp.where((end > off)[None, :], hi - lo, 0.0)
+
+    # --- A1c (r5): the COMPACTED production path — same scatter-add, fewer
+    # indices (the backward now writes a dense walked-chunk prefix;
+    # rasterize_pallas.py grad_cols). 60% walked fraction at bench shape.
+    COMPACT = int(PAD * 0.60) // 128 * 128
+    rank_c = jnp.asarray(rank[:COMPACT])
+    g_c = g[:, :COMPACT]
+
+    def a1c(g, idx):
+        safe = jnp.maximum(idx, 0)
+        gz = jnp.where((idx >= 0)[None, :], g, 0.0)
+        return jnp.zeros((NF, P), jnp.float32).at[:, safe].add(gz)
+
     report("A1   [NF,P] scatter-add (r1 baseline)", a1, g, rank_j)
     report("A1T  [P,NF] transposed scatter-add", a1t, gT, rank_j)
     report("A1TU A1T + unique hint (timing probe)", a1tu, gT, rank_j)
     report("A12  es scatter-set + cumsum + bdry", a12, gT, es_j, off_j, end_j)
     report("  [plumb] src build (1-col scatter)", build_src, es_j)
     report("A12g src gather + cumsum + bdry", a12g, gT, src_j, off_j, end_j)
+    report("A12c es scatter-set COLUMN + cumsum", a12c, g, es_j, off_j, end_j)
+    report("A1c  compacted scatter-add (60% idx)", a1c, g_c, rank_c)
 
 
 if __name__ == "__main__":

@@ -124,6 +124,16 @@ def main():
 
     ev = mapper.evaluate()  # all keyframes, evaluate_image.py methodology
 
+    # per-keyframe spread (VERDICT r4 weak #1: the all-keyframe mean hid
+    # WHICH views dragged it; report every view so a tail is visible)
+    per_kf = []
+    for i in range(len(mapper.cameras)):
+        out = mapper.render_keyframe(i)
+        p_i, s_i = mapper._pair_metrics_jit(out.color, mapper._gt_device[i])
+        per_kf.append(round(float(p_i), 2))
+    print("per-keyframe PSNR:", " ".join(f"{v:.1f}" for v in per_kf),
+          flush=True)
+
     # inverse-depth L1 vs exact ray-cast geometry (see_depth_l1.py:53-59),
     # over pixels where BOTH the render is opaque and the GT hits a surface
     planes = synthetic.default_scene()
@@ -145,6 +155,8 @@ def main():
         "final_ssim": round(ev["mean_ssim"], 4),
         "depth_l1_inv": round(depth_l1, 5),
         "psnr_curve": [[i, round(p, 2)] for i, p in curve],
+        "per_keyframe_psnr": per_kf,
+        "min_keyframe_psnr": min(per_kf) if per_kf else 0.0,
         "iters": args.iters,
         "train_s": round(t_train, 1),
         "iters_per_s": round(args.iters / t_train, 2),
