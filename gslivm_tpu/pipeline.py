@@ -416,9 +416,16 @@ class IncrementalMapper:
         interval = 1 if self._feedback_hot else self.feedback_interval
         if len(self._pending_feedback) >= interval:
             pending, self._pending_feedback = self._pending_feedback, []
-            for j, m in enumerate(pending):
+            # ONE packed transfer for the whole batch: each scalar read
+            # costs a full device round trip (~25 ms on the tunneled
+            # chip), so reading 4 fields x batch separately would cost
+            # interval x 4 RTTs — pack them into one device array first
+            packed = np.asarray(jnp.stack([
+                jnp.stack([m.overflow, m.num_instances, m.max_nchunks,
+                           m.walked_chunks]) for m in pending]))
+            for row in packed:
                 esc = self.overflow_escalations
-                self._ingest_budget_feedback(m)
+                self._ingest_budget_feedback(*(int(v) for v in row))
                 if self.overflow_escalations != esc:
                     # the rest of the batch predates the new budgets —
                     # stale signals must not compound the escalation
@@ -433,9 +440,10 @@ class IncrementalMapper:
             self.prune_map()
         return metrics
 
-    def _ingest_budget_feedback(self, metrics: "training.TrainMetrics"):
-        self.last_overflow = int(metrics.overflow)
-        if self.last_overflow > 0:
+    def _ingest_budget_feedback(self, overflow: int, num_instances: int,
+                                max_nchunks: int, walked_chunks: int):
+        self.last_overflow = overflow
+        if overflow > 0:
             self._feedback_hot = True
             self._overflowed_at = max(self._overflowed_at,
                                       self.settings.max_instances)
@@ -452,7 +460,7 @@ class IncrementalMapper:
                 # the grad layout falls back to always-lossless full until
                 # the next fit.
                 b = self._INST_BUCKET
-                need_i = int(1.2 * int(metrics.num_instances))
+                need_i = int(1.2 * num_instances)
                 fitted_i = max(b, -(-need_i // b) * b)
                 self.settings = self.settings._replace(
                     max_instances=max(2 * self.settings.max_instances,
@@ -464,12 +472,14 @@ class IncrementalMapper:
         else:
             self._feedback_hot = False
             self._overflow_streak = 0
-            self._maybe_shrink_budgets(metrics)
+            self._maybe_shrink_budgets(num_instances, max_nchunks,
+                                       walked_chunks)
 
     _INST_BUCKET = 512 * 128  # 65,536-slot budget granularity: quantizing
     # the fitted budget bounds recompiles to one per bucket change
 
-    def _maybe_shrink_budgets(self, metrics: "training.TrainMetrics"):
+    def _maybe_shrink_budgets(self, num_instances: int, max_nchunks: int,
+                              walked_chunks: int):
         """Shrink max_instances / max_chunks_per_tile toward the measured
         expansion high-water mark (+15% / +2 chunks margin) once a full
         observation window agrees — the feedback-fit of VERDICT r2 weak #5.
@@ -478,9 +488,9 @@ class IncrementalMapper:
 
         if _resolve_backend(self.settings.backend) != "pallas":
             return
-        self._fit_inst.append(int(metrics.num_instances))
-        self._fit_chunks.append(int(metrics.max_nchunks))
-        self._fit_walked.append(int(metrics.walked_chunks))
+        self._fit_inst.append(num_instances)
+        self._fit_chunks.append(max_nchunks)
+        self._fit_walked.append(walked_chunks)
         if len(self._fit_inst) < self.budget_fit_window:
             return
         b = self._INST_BUCKET

@@ -237,21 +237,12 @@ def test_budget_autofit_shrinks_to_scene():
     far below the loose default budgets, max_instances/max_chunks_per_tile
     shrink to the measured scale (+margin); overflow marks the budget as
     non-viable so the fit never shrinks back into it."""
-    from gslivm_tpu.models.training import TrainMetrics
-
     mapper = IncrementalMapper(
         settings=RasterizeSettings(backend="pallas", max_instances=2**20,
                                    max_chunks_per_tile=64))
-    z = np.float32(0)
-
-    def fake(n_inst, n_chunks, ovf=0):
-        return TrainMetrics(loss=z, image_loss=z, simi=z, delta=z, psnr=z,
-                            ssim=z, overflow=np.int32(ovf),
-                            num_instances=np.int32(n_inst),
-                            max_nchunks=np.int32(n_chunks))
 
     for _ in range(mapper.budget_fit_window):
-        mapper._maybe_shrink_budgets(fake(90_000, 4))
+        mapper._maybe_shrink_budgets(90_000, 4, 0)
     assert mapper.settings.max_instances == 2 * mapper._INST_BUCKET  # 131072
     assert mapper.settings.max_chunks_per_tile == 8
     fitted = mapper.settings.max_instances
@@ -259,13 +250,13 @@ def test_budget_autofit_shrinks_to_scene():
     # overflow at the fitted budget pins the floor above it
     mapper._overflowed_at = fitted
     for _ in range(mapper.budget_fit_window):
-        mapper._maybe_shrink_budgets(fake(10_000, 2))
+        mapper._maybe_shrink_budgets(10_000, 2, 0)
     assert mapper.settings.max_instances == fitted  # no shrink into overflow
 
     # naive backend: fit is a no-op
     m2 = IncrementalMapper(settings=RasterizeSettings(backend="naive"))
     for _ in range(m2.budget_fit_window + 1):
-        m2._maybe_shrink_budgets(fake(1, 1))
+        m2._maybe_shrink_budgets(1, 1, 0)
     assert m2.settings.max_instances == RasterizeSettings().max_instances
 
 

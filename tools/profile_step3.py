@@ -68,9 +68,6 @@ def main():
         scaling=jnp.log(scales), rotation=quats,
         opacity=jnp.log(opac / (1.0 - opac))[:, None],
         n_active=jnp.asarray(n, jnp.int32))
-    settings = RasterizeSettings(
-        backend="pallas", max_instances=MAXI, max_chunks_per_tile=MAXCH,
-        capacity_slack=SLACK, block_x=BLOCK[0], block_y=BLOCK[1])
     optimizer = training.make_optimizer(training.GsOptimParams())
     opt_state = optimizer.init(params)
     simi = training.empty_simi(max_gauss=2048)
@@ -81,6 +78,13 @@ def main():
         p.get_features(), cam, max_instances=MAXI, capacity_slack=SLACK,
         block_x=BLOCK[0], block_y=BLOCK[1], max_chunks_per_tile=MAXCH,
         depth_grad=False))(params)
+    # compacted grad capacity, fitted from the measured walk (bench.py AUTO)
+    grad_cap = -(-int(1.10 * 128 * int(out.walked_chunks)) // 128) * 128
+    print(f"grad_capacity (auto): {grad_cap}")
+    settings = RasterizeSettings(
+        backend="pallas", max_instances=MAXI, max_chunks_per_tile=MAXCH,
+        capacity_slack=SLACK, block_x=BLOCK[0], block_y=BLOCK[1],
+        grad_capacity=grad_cap)
     ncon = np.asarray(out.n_contrib, np.float64)
     print(f"n_contrib: mean {ncon.mean():.1f}  p50 {np.percentile(ncon, 50):.0f}"
           f"  p90 {np.percentile(ncon, 90):.0f}  p99 {np.percentile(ncon, 99):.0f}"
