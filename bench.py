@@ -129,8 +129,11 @@ def main():
         f"(expansion {int(probe.num_instances)})")
     walked = int(probe.walked_chunks)
     grad_cap = GRADCAP
-    if grad_cap < 0:  # AUTO: +10% over the measured walked-chunk total
-        grad_cap = -(-int(1.10 * 128 * walked) // 128) * 128
+    if grad_cap < 0:  # AUTO: +4% over the measured walked-chunk total
+        # (walked is DETERMINISTIC for the fixed bench scene; the margin
+        # only covers the step-to-step drift of the training measurements,
+        # and grad overflow would trip the m1.overflow == 0 assert below)
+        grad_cap = -(-int(1.04 * 128 * walked) // 128) * 128
     step = jax.jit(jax.grad(functools.partial(loss, grad_capacity=grad_cap),
                             argnums=(0, 1, 2, 3, 4)))
 

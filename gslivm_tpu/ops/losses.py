@@ -93,6 +93,27 @@ def _gaussian_blur_shift_add(img, taps: np.ndarray):
                for i in range(k))
 
 
+def _blur_parts(parts, taps: np.ndarray):
+    """Blur several same-shaped [C, H, W] fields with shared taps.
+
+    On real TPUs the parts are stacked through ONE fused Pallas kernel
+    (ops/blur_pallas.py): both separable passes run on a VMEM-resident row
+    band, so each element makes one HBM round trip instead of the XLA
+    chain's two full sweeps per blur — the image-loss block of the
+    production step drops ~2x. Elsewhere (and under CPU tests) each part
+    keeps its own XLA shift-add chain, which fuses into its producer (the
+    r3 negative result on XLA-side stacking still holds: a concatenate
+    there breaks that fusion)."""
+    from .blur_pallas import blur_many, use_pallas_blur
+
+    if use_pallas_blur():
+        stack = jnp.concatenate(parts, axis=0)
+        out = blur_many(stack, tuple(float(t) for t in taps))
+        sizes = np.cumsum([0] + [p.shape[0] for p in parts])
+        return [out[sizes[i]:sizes[i + 1]] for i in range(len(parts))]
+    return [_gaussian_blur_shift_add(x, taps) for x in parts]
+
+
 def ssim_ref_stats(img2, window_size: int = 11, sigma: float = 1.5,
                    symmetric_window: bool = False):
     """Precompute the REFERENCE-side SSIM statistics (mu2, sigma2_sq).
@@ -103,8 +124,8 @@ def ssim_ref_stats(img2, window_size: int = 11, sigma: float = 1.5,
     the same ops (bit-identical result, pinned by
     test_ssim_ref_stats_exact)."""
     taps = gaussian_1d(window_size, sigma, symmetric_window)
-    mu2 = _gaussian_blur_shift_add(img2, taps)
-    sigma2_sq = _gaussian_blur_shift_add(img2 * img2, taps) - mu2 * mu2
+    mu2, m22 = _blur_parts([img2, img2 * img2], taps)
+    sigma2_sq = m22 - mu2 * mu2
     return mu2, sigma2_sq
 
 
@@ -123,18 +144,19 @@ def ssim(img1, img2, window_size: int = 11, sigma: float = 1.5,
     band-matrix einsum produced garbage gradients at 1080p under
     precision=HIGHEST — tools/microbench_ssim2.py.)"""
     taps = gaussian_1d(window_size, sigma, symmetric_window)
-    conv = lambda x: _gaussian_blur_shift_add(x, taps)
-    mu1 = conv(img1)
     if ref_stats is None:
-        mu2 = conv(img2)
-        sigma2_sq = conv(img2 * img2) - mu2 * mu2
+        mu1, mu2, m11, m22, m12 = _blur_parts(
+            [img1, img2, img1 * img1, img2 * img2, img1 * img2], taps)
+        sigma2_sq = m22 - mu2 * mu2
     else:
         mu2, sigma2_sq = ref_stats
+        mu1, m11, m12 = _blur_parts(
+            [img1, img1 * img1, img1 * img2], taps)
     mu1_sq = mu1 * mu1
     mu2_sq = mu2 * mu2
     mu1_mu2 = mu1 * mu2
-    sigma1_sq = conv(img1 * img1) - mu1_sq
-    sigma12 = conv(img1 * img2) - mu1_mu2
+    sigma1_sq = m11 - mu1_sq
+    sigma12 = m12 - mu1_mu2
     ssim_map = ((2.0 * mu1_mu2 + _C1) * (2.0 * sigma12 + _C2)) / (
         (mu1_sq + mu2_sq + _C1) * (sigma1_sq + sigma2_sq + _C2)
     )
@@ -165,15 +187,13 @@ def ssim_band_sum(img1, img2, row_lo, n_rows: int, window_size: int = 11,
 
     a = band(img1)
     b = band(img2)
-    conv = lambda x: _gaussian_blur_shift_add(x, taps)
-    mu1 = conv(a)
-    mu2 = conv(b)
+    mu1, mu2, m11, m22, m12 = _blur_parts([a, b, a * a, b * b, a * b], taps)
     mu1_sq = mu1 * mu1
     mu2_sq = mu2 * mu2
     mu1_mu2 = mu1 * mu2
-    sigma1_sq = conv(a * a) - mu1_sq
-    sigma2_sq = conv(b * b) - mu2_sq
-    sigma12 = conv(a * b) - mu1_mu2
+    sigma1_sq = m11 - mu1_sq
+    sigma2_sq = m22 - mu2_sq
+    sigma12 = m12 - mu1_mu2
     ssim_map = ((2.0 * mu1_mu2 + _C1) * (2.0 * sigma12 + _C2)) / (
         (mu1_sq + mu2_sq + _C1) * (sigma1_sq + sigma2_sq + _C2)
     )

@@ -151,3 +151,30 @@ def test_train_step_gt_stats_equivalence():
                                       gt_stats=(stats[0][None], stats[1][None]))
     assert float(m_a.loss) == float(m_b.loss)
     np.testing.assert_array_equal(np.asarray(p_a.xyz), np.asarray(p_b.xyz))
+
+
+def test_pallas_blur_matches_shift_add(rng):
+    """blur_pallas.blur_many (interpret) must reproduce the XLA shift-add
+    separable blur exactly (same zero-padded SAME semantics), including the
+    reference's ASYMMETRIC 11-tap window, and its custom VJP (reversed-tap
+    adjoint) must match autodiff through the shift-add chain."""
+    import jax
+
+    from gslivm_tpu.ops.blur_pallas import blur_many
+    from gslivm_tpu.ops.losses import _gaussian_blur_shift_add, gaussian_1d
+
+    x = jnp.asarray(rng.standard_normal((4, 37, 150)), jnp.float32)
+    for symmetric in (False, True):
+        taps = gaussian_1d(11, 1.5, symmetric)
+        ref = _gaussian_blur_shift_add(x, taps)
+        got = blur_many(x, tuple(float(t) for t in taps), True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-6, rtol=1e-5)
+
+        w = jnp.asarray(rng.standard_normal(ref.shape), jnp.float32)
+        g_ref = jax.grad(
+            lambda v: jnp.sum(_gaussian_blur_shift_add(v, taps) * w))(x)
+        g_got = jax.grad(lambda v: jnp.sum(
+            blur_many(v, tuple(float(t) for t in taps), True) * w))(x)
+        np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                                   atol=1e-5, rtol=1e-4)
