@@ -42,6 +42,13 @@ from .ops import losses as loss_ops
 from .ops.rasterize import RasterizeSettings
 
 
+def _pad_rows(a: np.ndarray, n: int) -> np.ndarray:
+    """Zero-pad the leading axis of a to n rows."""
+    out = np.zeros((n,) + a.shape[1:], a.dtype)
+    out[: a.shape[0]] = a
+    return out
+
+
 class Frame(NamedTuple):
     """One synchronized rendering frame from the front-end."""
 
@@ -153,21 +160,22 @@ class IncrementalMapper:
     def add_frame(self, frame: Frame) -> dict:
         div = self.gpmap.divide_points(frame.points_world)
         res = gp3d.gp_forward(div.batch, self.cfg.gp)
-        self.gpmap.update_variance(
-            div.hashes, np.asarray(res.reopen), np.asarray(res.update_variance)
-        )
+        # ONE pipelined device_get for every GP output the host consumes:
+        # device_get starts all copies async before blocking, so the reads
+        # cost ~one round trip instead of six serial ones (~25 ms each on
+        # a remote-tunneled chip, tools/profile_ingest.py)
+        means, covs, reopen, error, upd_var, lp = jax.device_get(
+            (res.means, res.covs, res.reopen, res.error,
+             res.update_variance, res.loss_points))
+        self.gpmap.update_variance(div.hashes, reopen, upd_var)
 
-        means = np.asarray(res.means)
-        covs = np.asarray(res.covs)
-        vmask = np.asarray(div.batch.mask) & ~np.asarray(res.error)
+        vmask = np.asarray(div.batch.mask) & ~error
 
         # converged-cell LiDAR hits -> loss anchors (map.cpp:17-25)
         for h in np.unique(div.loss_hashes):
             pts = div.loss_points[div.loss_hashes == h]
             self.loss_anchors[int(h)] = pts
         # reopened-voxel GP samples -> loss anchors (gpprocess.cu:783-800)
-        reopen = np.asarray(res.reopen)
-        lp = np.asarray(res.loss_points)
         for i in np.nonzero(reopen & vmask)[0]:
             self.loss_anchors[int(div.hashes[i])] = lp[i]
 
@@ -199,14 +207,17 @@ class IncrementalMapper:
             # seconds each — same rationale as gpmap._pack's buckets)
             vpad = 8
             while vpad < pm.shape[0]:
-                vpad *= 2
+                vpad *= 4  # coarse buckets: each NEW pool shape costs a
+                # remote compile of the colorize jit (seconds); x4 spacing
+                # quarters the distinct shapes a growing pool walks through
             pmp = np.zeros((vpad,) + pm.shape[1:], np.float32)
             pmp[: pm.shape[0]] = pm
-            pcolors, pvalid = self._colorize_jit(
+            pc_dev, pv_dev = self._colorize_jit(
                 jnp.asarray(pmp), frame.cam_projection,
                 jnp.asarray(frame.image))
-            pcolors = np.asarray(pcolors)[: pm.shape[0]]
-            pvalid = np.asarray(pvalid)[: pm.shape[0]]
+            pcolors, pvalid = jax.device_get((pc_dev, pv_dev))  # pipelined
+            pcolors = pcolors[: pm.shape[0]]
+            pvalid = pvalid[: pm.shape[0]]
             strict = max_age < 0
             for j, h in enumerate(keys):
                 entry = self._pending_color[h]
@@ -239,14 +250,22 @@ class IncrementalMapper:
             if self.params.capacity != old_cap:
                 self.opt_state = training.grow_opt_state(
                     self.opt_state, old_cap, self.params.capacity)
+            # pow2-bucketed batch through ONE jitted append: the batch size
+            # differs every frame, and eager per-shape dispatch compiles
+            # fresh executables on a remote-tunneled TPU (measured ~27
+            # s/frame of ingest 'other' time, tools/profile_ingest.py);
+            # masked padding rows are dropped by append_points' compaction
+            mpad = 8
+            while mpad < m:
+                mpad *= 2
             batch = gm.PointBatch(
-                xyz=jnp.asarray(xyz, jnp.float32),
-                rgb=jnp.asarray(rgb, jnp.float32),
-                cov=jnp.asarray(cov, jnp.float32),
-                mask=jnp.ones((m,), bool),
+                xyz=jnp.asarray(_pad_rows(xyz, mpad), jnp.float32),
+                rgb=jnp.asarray(_pad_rows(rgb, mpad), jnp.float32),
+                cov=jnp.asarray(_pad_rows(cov, mpad), jnp.float32),
+                mask=jnp.asarray(np.arange(mpad) < m),
             )
-            self.params = gm.append_points(batch=batch, params=self.params,
-                                           scale_factor=self.cfg.gs.scale_factor)
+            self.params = self._append_jit(
+                self.params, batch, self.cfg.gs.scale_factor)
             for h, cnt in ranges:
                 if not self.registry.insert(h, start, cnt):
                     # deferred completion of a partially-inserted voxel
@@ -285,7 +304,7 @@ class IncrementalMapper:
             "active": int(self.params.n_active),
             "voxels": self.gpmap.stats(),
             "keyframes": len(self.cameras),
-            "overflow_gp": int(np.asarray(res.error).sum()),
+            "overflow_gp": int(error.sum()),
             "pending_color": len(self._pending_color),
         }
 
@@ -559,6 +578,10 @@ class IncrementalMapper:
     @functools.cached_property
     def _colorize_jit(self):
         return jax.jit(gp3d.colorize)
+
+    @functools.cached_property
+    def _append_jit(self):
+        return jax.jit(gm.append_points, static_argnames=("scale_factor",))
 
     @functools.cached_property
     def _pair_metrics_jit(self):
