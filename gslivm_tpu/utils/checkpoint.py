@@ -63,6 +63,10 @@ def save_mapper(mapper, path: str):
             for h, c in mapper.gpmap.cells.items()
         },
         "gpmap_pending": mapper.gpmap._pending,
+        # deferred-colorization pool (pipeline.py): voxels whose GP ran but
+        # which no camera has fully seen — dropping them on resume would
+        # reintroduce the permanent-hole failure their pool exists to fix
+        "pending_color": mapper._pending_color,
     }
     with open(os.path.join(path, "host.pkl"), "wb") as f:
         pickle.dump(host, f)
@@ -97,7 +101,15 @@ def load_mapper(mapper, path: str):
         host = pickle.load(f)
     mapper.iter = host["iter"]
     mapper.started = host["started"]
-    mapper.registry._ranges = host["registry"]
+    # registry values are LISTS of (start, count) ranges since the r5
+    # multi-range extension; normalize tuple-valued entries from older
+    # sidecars so lookup()/ranges() see the same shape either way
+    mapper.registry._ranges = {
+        h: (list(v) if isinstance(v, list) else [tuple(v)])
+        for h, v in host["registry"].items()
+    }
+    mapper._pending_color = host.get("pending_color", {})
+    mapper._simi_cache = None  # anchors/registry just changed
     mapper.loss_anchors = host["loss_anchors"]
     mapper.cameras = host["cameras"]
     mapper.gt_images = host["gt_images"]

@@ -111,6 +111,10 @@ def test_checkpoint_roundtrip(tmp_path, rng):
                                   np.asarray(mapper.params.xyz))
     assert len(mapper2.cameras) == len(mapper.cameras)
     assert mapper2.gpmap.stats() == mapper.gpmap.stats()
+    # the deferred-colorization pool survives resume (dropping it would
+    # reintroduce the permanent-hole failure it exists to fix)
+    assert set(mapper2._pending_color) == set(mapper._pending_color)
+    assert mapper2.registry._ranges == mapper.registry._ranges
     # resumed mapper can continue training + ingesting
     m = mapper2.train_iteration()
     assert m is not None and np.isfinite(float(m.loss))
