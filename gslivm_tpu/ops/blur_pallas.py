@@ -101,12 +101,3 @@ def use_pallas_blur() -> bool:
     """Pallas blur on real TPUs; the XLA shift-add chain elsewhere (CPU
     interpret mode would be slower than XLA for tests)."""
     return jax.default_backend() == "tpu"
-
-
-def blur_auto(img, taps: np.ndarray):
-    """Backend-dispatching separable blur for [C, H, W] images."""
-    if use_pallas_blur():
-        return blur_many(img, tuple(float(t) for t in taps))
-    from .losses import _gaussian_blur_shift_add
-
-    return _gaussian_blur_shift_add(img, taps)
