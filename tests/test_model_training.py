@@ -81,6 +81,18 @@ def test_hash_registry():
     assert reg.lookup(42) == (0, 16)
     idx = reg.indices_for([42, 43, 99])
     assert len(idx) == 32 and idx[0] == 0 and idx[-1] == 31
+    # multi-range extension (deferred-colorization completion): a voxel can
+    # grow a SECOND range; lookup keeps the reference API shape (first
+    # range), ranges()/indices_for see both, and pruning remaps each range
+    reg.append_range(42, 32, 4)
+    assert reg.lookup(42) == (0, 16)
+    assert reg.ranges(42) == [(0, 16), (32, 4)]
+    assert len(reg.indices_for([42])) == 20
+    keep = np.ones(36, bool)
+    keep[0:8] = False  # drop the first half of range 1
+    reg.remap_pruned(keep)
+    assert reg.ranges(42) == [(0, 8), (24, 4)]
+    assert reg.ranges(43) == [(8, 16)]
 
 
 def test_simi_loss_values(rng):
